@@ -1,0 +1,224 @@
+"""Poseidon hash over BLS12-381 Fr — host-reference implementation.
+
+Replaces the reference's consumed `crypto3::hashes::poseidon<Field, Arity>`
+(reference: libs/storage/.../porep/stacked/vanilla/hash.hpp:33-52 hashes
+columns with arity 2/11 Poseidon; .../core/hasher/types.hpp:34-42 defines
+PoseidonBinaryArity=2, QuadArity=4, OctArity=8, MDArity=36).
+
+Parameterization follows the Filecoin/neptune conventions:
+- width t = arity + 1, S-box x^5, security level 128 bits, 255-bit field
+- round numbers R_F / R_P from the Poseidon-paper security inequalities
+  with neptune's 7.5% / +2 security margin
+- round constants from the Grain LFSR of the Poseidon reference script
+  (80-bit state, parameters packed MSB-first, 160 bootstrap bits, pair
+  filter, big-endian 255-bit rejection sampling)
+- MDS = Cauchy matrix M[i][j] = 1/(x_i + y_j), x_i = i, y_j = t + j
+- Merkle-tree domain tag = 2^arity - 1 in the first state element; the
+  digest is state[1] after one permutation.
+
+The batched TPU path lives in ops/poseidon_jax.py and is validated
+bit-exactly against this module.
+"""
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+from .bls12_381 import R
+
+ALPHA = 5
+SECURITY_BITS = 128
+FIELD_BITS = 255
+
+# Arities used by the protocols (reference: core/hasher/types.hpp:34-42)
+POSEIDON_BINARY_ARITY = 2
+POSEIDON_QUAD_ARITY = 4
+POSEIDON_OCT_ARITY = 8
+POSEIDON_MD_ARITY = 36
+
+
+# ---------------------------------------------------------------------------
+# Round numbers (Poseidon paper security inequalities, neptune margins)
+# ---------------------------------------------------------------------------
+
+
+def _round_numbers_are_secure(t: int, rf: int, rp: int) -> bool:
+    n, m = float(FIELD_BITS), float(SECURITY_BITS)
+    rf_stat = 6.0 if m <= (n - 3.0) * (t + 1.0) else 10.0
+    rf_interp = 0.43 * m + math.log2(t) - rp
+    rf_grob_1 = 0.21 * n - rp
+    rf_grob_2 = (0.14 * n - 1.0 - rp) / (t - 1.0)
+    rf_max = max(math.ceil(v) for v in (rf_stat, rf_interp, rf_grob_1, rf_grob_2))
+    return rf >= rf_max
+
+
+def round_numbers(arity: int) -> tuple[int, int]:
+    """(R_F, R_P) for a given arity, with security margin applied."""
+    t = arity + 1
+    rf_out, rp_out, n_sboxes_min = 0, 0, None
+    for rf_test in range(2, 1001, 2):
+        for rp_test in range(4, 200):
+            if _round_numbers_are_secure(t, rf_test, rp_test):
+                rf_m = rf_test + 2
+                rp_m = math.ceil(1.075 * rp_test)
+                n_sboxes = t * rf_m + rp_m
+                if n_sboxes_min is None or n_sboxes < n_sboxes_min or (
+                    n_sboxes == n_sboxes_min and rf_m < rf_out
+                ):
+                    rf_out, rp_out, n_sboxes_min = rf_m, rp_m, n_sboxes
+    return rf_out, rp_out
+
+
+# ---------------------------------------------------------------------------
+# Grain LFSR round-constant generation (Poseidon reference script semantics)
+# ---------------------------------------------------------------------------
+
+
+class _GrainLFSR:
+    def __init__(self, field: int, sbox: int, n: int, t: int, r_f: int, r_p: int):
+        bits: list[int] = []
+
+        def append(value: int, width: int):
+            for i in range(width - 1, -1, -1):
+                bits.append((value >> i) & 1)
+
+        append(field, 2)
+        append(sbox, 4)
+        append(n, 12)
+        append(t, 12)
+        append(r_f, 10)
+        append(r_p, 10)
+        append((1 << 30) - 1, 30)
+        assert len(bits) == 80
+        self.state = bits
+        # bootstrap: discard 160 raw bits
+        for _ in range(160):
+            self._update()
+
+    def _update(self) -> int:
+        s = self.state
+        new = s[62] ^ s[51] ^ s[38] ^ s[23] ^ s[13] ^ s[0]
+        s.pop(0)
+        s.append(new)
+        return new
+
+    def _filtered_bit(self) -> int:
+        # pair filter: emit second bit of a pair only when the first is 1
+        while True:
+            b1 = self._update()
+            b2 = self._update()
+            if b1 == 1:
+                return b2
+
+    def get_bits(self, count: int) -> int:
+        """`count` filtered bits as a big-endian integer."""
+        v = 0
+        for _ in range(count):
+            v = (v << 1) | self._filtered_bit()
+        return v
+
+
+def generate_round_constants(t: int, r_f: int, r_p: int) -> list[int]:
+    grain = _GrainLFSR(field=1, sbox=0, n=FIELD_BITS, t=t, r_f=r_f, r_p=r_p)
+    out = []
+    for _ in range((r_f + r_p) * t):
+        v = grain.get_bits(FIELD_BITS)
+        while v >= R:
+            v = grain.get_bits(FIELD_BITS)
+        out.append(v)
+    return out
+
+
+def generate_mds(t: int) -> list[list[int]]:
+    return [[pow(i + t + j, R - 2, R) for j in range(t)] for i in range(t)]
+
+
+# ---------------------------------------------------------------------------
+# Constants container + permutation
+# ---------------------------------------------------------------------------
+
+
+class PoseidonConstants:
+    def __init__(self, arity: int):
+        self.arity = arity
+        self.t = arity + 1
+        self.r_f, self.r_p = round_numbers(arity)
+        self.round_constants = generate_round_constants(self.t, self.r_f, self.r_p)
+        self.mds = generate_mds(self.t)
+        # Merkle-tree domain tag (neptune HashType::MerkleTree)
+        self.domain_tag = (1 << arity) - 1
+
+
+@lru_cache(maxsize=None)
+def poseidon_constants(arity: int) -> PoseidonConstants:
+    return PoseidonConstants(arity)
+
+
+def permutation(state: list[int], consts: PoseidonConstants) -> list[int]:
+    t, mds, rc = consts.t, consts.mds, consts.round_constants
+    half_f = consts.r_f // 2
+    s = [x % R for x in state]
+    c = 0
+
+    def mix(vec):
+        return [sum(mds[i][j] * vec[j] for j in range(t)) % R for i in range(t)]
+
+    for _ in range(half_f):
+        s = [(x + rc[c + i]) % R for i, x in enumerate(s)]
+        c += t
+        s = [pow(x, ALPHA, R) for x in s]
+        s = mix(s)
+    for _ in range(consts.r_p):
+        s = [(x + rc[c + i]) % R for i, x in enumerate(s)]
+        c += t
+        s[0] = pow(s[0], ALPHA, R)
+        s = mix(s)
+    for _ in range(half_f):
+        s = [(x + rc[c + i]) % R for i, x in enumerate(s)]
+        c += t
+        s = [pow(x, ALPHA, R) for x in s]
+        s = mix(s)
+    return s
+
+
+def poseidon_hash(preimage: list[int], arity: int | None = None) -> int:
+    """Hash `arity` field elements to one (Merkle-tree domain tag)."""
+    if arity is None:
+        arity = len(preimage)
+    if len(preimage) != arity:
+        raise ValueError(f"preimage length {len(preimage)} != arity {arity}")
+    consts = poseidon_constants(arity)
+    state = [consts.domain_tag] + [x % R for x in preimage]
+    return permutation(state, consts)[1]
+
+
+def hash2(a: int, b: int) -> int:
+    """Poseidon-2 of two elements; used for comm_r = H(comm_c, comm_r_last)
+    (reference: .../stacked/vanilla/proof.hpp:943-945)."""
+    return poseidon_hash([a, b], 2)
+
+
+def hash_md(elements: list[int]) -> int:
+    """Merkle-Damgard style fold with the MD-arity constants.
+
+    Mirrors rust-fil-proofs PoseidonFunction::hash_md (consumed by the
+    reference's election PoSt partial_ticket,
+    post/election/vanilla.hpp `hash_md` over PoseidonMDArity).
+    """
+    arity = POSEIDON_MD_ARITY
+    if len(elements) == 1:
+        return elements[0] % R
+    acc = elements[0] % R
+    for chunk_start in range(1, len(elements), arity - 1):
+        chunk = elements[chunk_start : chunk_start + arity - 1]
+        preimage = [acc] + [x % R for x in chunk]
+        preimage += [0] * (arity - len(preimage))
+        acc = poseidon_hash(preimage, arity)
+    return acc
+
+
+def column_hash(rows: list[int]) -> int:
+    """Hash a column of per-layer labels (reference:
+    .../stacked/vanilla/hash.hpp:37-52 — Poseidon over `layers` elements
+    with arity = layer count, e.g. 2 for test sizes, 11 for 32GiB)."""
+    return poseidon_hash(rows, len(rows))

@@ -1,0 +1,80 @@
+"""fr32 bit-padding: 2 zero bits per 254 data bits.
+
+Replaces reference libs/filecoin/.../fr32.hpp:41-372 (padding_map with
+data_bits=254 / element_bits=256, write_padded / write_unpadded) and the
+core fr32 aliases (core/fr32.hpp:36-55).
+
+Bit order: bytes are treated as little-endian bit streams (bit 0 of the
+stream = LSB of byte 0), so each 254-bit chunk becomes the low 254 bits
+of a 32-byte little-endian Fr element with the two high bits zero —
+guaranteeing every 32-byte node of the padded sector is a valid Fr.
+
+Implementation is vectorized with numpy packbits/unpackbits instead of
+the reference's per-bit Buffer machinery (fr32_reader.hpp).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+DATA_BITS = 254
+ELEMENT_BITS = 256
+NODE_SIZE = 32
+
+
+def to_padded_bytes(unpadded: int) -> int:
+    """UnpaddedBytesAmount -> PaddedBytesAmount
+    (reference: types/bytes_amount.hpp; 127 unpadded bytes -> 128)."""
+    return unpadded + unpadded // 127
+
+
+def to_unpadded_bytes(padded: int) -> int:
+    """PaddedBytesAmount -> UnpaddedBytesAmount (128 -> 127)."""
+    return padded - padded // 128
+
+
+def unpadded_sector_size(sector_size: int) -> int:
+    """Max raw data bytes a sector holds (2048 -> 2032)."""
+    return to_unpadded_bytes(sector_size)
+
+
+def write_padded(data: bytes) -> bytes:
+    """Insert 2 zero bits after every 254 data bits; output is sized in
+    whole 32-byte elements (the tail element zero-filled)."""
+    if len(data) == 0:
+        return b""
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), bitorder="little")
+    n_elements = -(-len(bits) // DATA_BITS)
+    padded_bits = np.zeros(n_elements * ELEMENT_BITS, dtype=np.uint8)
+    view = padded_bits.reshape(n_elements, ELEMENT_BITS)
+    chunks = np.zeros(n_elements * DATA_BITS, dtype=np.uint8)
+    chunks[: len(bits)] = bits
+    view[:, :DATA_BITS] = chunks.reshape(n_elements, DATA_BITS)
+    return np.packbits(padded_bits, bitorder="little").tobytes()
+
+
+def write_unpadded(padded: bytes, offset_bytes: int = 0, num_bytes: int | None = None) -> bytes:
+    """Strip the 2 padding bits per element and return `num_bytes` of raw
+    data starting at unpadded offset `offset_bytes`
+    (reference: fr32.hpp:344-368 write_unpadded)."""
+    if len(padded) % NODE_SIZE != 0:
+        raise ValueError("padded data must be whole 32-byte elements")
+    bits = np.unpackbits(np.frombuffer(padded, dtype=np.uint8), bitorder="little")
+    data_bits = bits.reshape(-1, ELEMENT_BITS)[:, :DATA_BITS].reshape(-1)
+    raw = np.packbits(data_bits, bitorder="little").tobytes()
+    if num_bytes is None:
+        return raw[offset_bytes:]
+    return raw[offset_bytes : offset_bytes + num_bytes]
+
+
+def pad_sector(data: bytes, sector_size: int) -> np.ndarray:
+    """fr32-pad raw data and zero-fill to a full sector; returns the
+    (nodes, 32) uint8 leaf array for tree_d."""
+    max_unpadded = unpadded_sector_size(sector_size)
+    if len(data) > max_unpadded:
+        raise ValueError(f"data ({len(data)}) exceeds sector capacity ({max_unpadded})")
+    padded = write_padded(data)
+    out = np.zeros((sector_size // NODE_SIZE, NODE_SIZE), dtype=np.uint8)
+    if padded:
+        arr = np.frombuffer(padded, dtype=np.uint8).reshape(-1, NODE_SIZE)
+        out[: arr.shape[0]] = arr
+    return out

@@ -1,0 +1,301 @@
+"""StackedDrg: the SDR PoRep engine — labeling, tree building, proving.
+
+Re-implements reference porep/stacked/vanilla/proof.hpp (984 LoC):
+generate_labels (:297-360), build_binary_tree (:362-378),
+generate_tree_c (:380-646), generate_tree_r_last (:648-820),
+transform_and_replicate_layers (:822-954), prove_layers (:63-266),
+extract_and_invert_transform_layers (:268-295), replicate_phase1/2.
+
+TPU-first differences:
+- tree building goes through the batched backend (one hash call per
+  level; JAX/Pallas when enabled) instead of GPU batcher channels
+- encode/decode is a vectorized Fr limb add over the whole layer
+- labeling is the one inherently sequential loop (node n needs n-1);
+  it runs on the host (native C++ path for large sectors), with the
+  parent table precomputed as one array (ParentCache)
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from crypto3_fil_proofs_tpu.core.merkle import (
+    CompoundMerkleTree,
+    MerkleTree,
+    StoreConfig,
+    create_tree,
+)
+from crypto3_fil_proofs_tpu.ops.fr_numpy import fr_add_bytes, fr_sub_bytes
+from crypto3_fil_proofs_tpu.ops.poseidon import hash2
+from crypto3_fil_proofs_tpu.ops.tree_hash import get_backend
+
+from .cache import ParentCache
+from .graph import StackedBucketGraph
+from .params import (
+    NODE_SIZE,
+    Column,
+    ColumnProof,
+    EncodingProof,
+    Labels,
+    LabelingProof,
+    LayerChallenges,
+    PersistentAux,
+    PrivateInputs,
+    Proof,
+    PublicInputs,
+    PublicParams,
+    ReplicaColumnProof,
+    SetupParams,
+    Tau,
+    TemporaryAux,
+    repeat_parents,
+)
+
+BASE = 6  # base parents hashed per node
+
+
+class StackedDrg:
+    # -- setup ----------------------------------------------------------
+
+    @staticmethod
+    def setup(sp: SetupParams) -> PublicParams:
+        graph = StackedBucketGraph(
+            sp.nodes,
+            base_degree=sp.degree,
+            expansion_degree=sp.expansion_degree,
+            porep_id=sp.porep_id,
+        )
+        return PublicParams(graph=graph, layer_challenges=sp.layer_challenges)
+
+    # -- labeling (reference: proof.hpp:297-360) -------------------------
+
+    @staticmethod
+    def generate_labels(
+        graph: StackedBucketGraph,
+        layers: int,
+        replica_id: bytes,
+        parent_cache: ParentCache | None = None,
+    ) -> Labels:
+        """Sequential SDR labeling, all layers. Returns per-layer arrays."""
+        nodes = graph.size()
+        if parent_cache is not None:
+            parents_tbl = parent_cache.table()
+        else:
+            parents_tbl = graph.parents_all()
+        base_tbl = parents_tbl[:, :BASE].astype(np.int64)
+        exp_tbl = parents_tbl[:, BASE:].astype(np.int64)
+
+        layer_arrays: list[np.ndarray] = []
+        prev: np.ndarray | None = None
+        for layer in range(1, layers + 1):
+            cur = np.empty((nodes, NODE_SIZE), dtype=np.uint8)
+            _label_layer(
+                cur, prev, replica_id, layer, base_tbl, exp_tbl if layer > 1 else None
+            )
+            layer_arrays.append(cur)
+            prev = cur
+        return Labels(layer_arrays)
+
+    # -- replicate (reference: proof.hpp:822-974) -------------------------
+
+    @staticmethod
+    def transform_and_replicate_layers(
+        pp: PublicParams,
+        replica_id: bytes,
+        data_leaves: np.ndarray,
+        shape: tuple[int, int, int] = (8, 0, 0),
+        configs: dict | None = None,
+        parent_cache: ParentCache | None = None,
+    ):
+        """Full phase-1+2 replication: labels, tree_d, tree_c, encode +
+        tree_r_last, comm_r. Returns (tau, p_aux, t_aux, replica_leaves).
+
+        `configs` may carry StoreConfigs for 'tree-d'/'tree-c'/'tree-r-last'
+        to persist trees on disk (cache_key vocabulary, core/cache_key.hpp).
+        """
+        graph = pp.graph
+        layers = pp.layers
+        nodes = graph.size()
+        assert data_leaves.shape == (nodes, NODE_SIZE)
+        configs = configs or {}
+
+        labels = StackedDrg.generate_labels(graph, layers, replica_id, parent_cache)
+
+        # tree_d: binary SHA-256 over the (padded) data
+        tree_d = MerkleTree.build(
+            data_leaves, 2, "sha256", configs.get("tree-d")
+        )
+        comm_d = tree_d.root()
+
+        # tree_c: poseidon over column hashes (arity = layers)
+        tree_c = StackedDrg._generate_tree_c(labels, shape, configs.get("tree-c"))
+        comm_c = tree_c.root()
+
+        # encode data with the last layer's labels -> replica
+        key_layer = labels.layer(layers)
+        replica_leaves = fr_add_bytes(data_leaves, key_layer)
+
+        # tree_r_last over the replica
+        tree_r_last = create_tree(
+            replica_leaves, shape[0], shape[1], shape[2], "poseidon",
+            configs.get("tree-r-last"),
+        )
+        comm_r_last = tree_r_last.root()
+
+        comm_r = hash2(
+            int.from_bytes(comm_c, "little"), int.from_bytes(comm_r_last, "little")
+        ).to_bytes(32, "little")
+
+        tau = Tau(comm_d=comm_d, comm_r=comm_r)
+        p_aux = PersistentAux(comm_c=comm_c, comm_r_last=comm_r_last)
+        t_aux = TemporaryAux(
+            labels=labels, tree_d=tree_d, tree_c=tree_c, tree_r_last=tree_r_last
+        )
+        return tau, p_aux, t_aux, replica_leaves
+
+    @staticmethod
+    def _generate_tree_c(labels: Labels, shape, configs=None):
+        """Column-hash leaves then a compound poseidon tree
+        (reference: proof.hpp:380-646; the column batch is one backend
+        call — SURVEY.md P3)."""
+        layers = labels.layers
+        nodes = labels.layers_data[0].shape[0]
+        hb = get_backend("poseidon")
+        # columns matrix: (nodes, layers, 32) -> hash arity=layers per row
+        cols = np.stack(labels.layers_data, axis=1).reshape(nodes * layers, NODE_SIZE)
+        leaves = hb.hash_level(cols, layers)
+        return create_tree(leaves, shape[0], shape[1], shape[2], "poseidon", configs)
+
+    @staticmethod
+    def extract_and_invert_transform_layers(
+        pp: PublicParams,
+        replica_id: bytes,
+        replica_leaves: np.ndarray,
+        parent_cache: ParentCache | None = None,
+    ) -> np.ndarray:
+        """Unseal: regenerate labels, decode the last layer
+        (reference: proof.hpp:268-295)."""
+        labels = StackedDrg.generate_labels(
+            pp.graph, pp.layers, replica_id, parent_cache
+        )
+        return fr_sub_bytes(replica_leaves, labels.layer(pp.layers))
+
+    # -- proving (reference: proof.hpp:63-266 prove_layers) ---------------
+
+    @staticmethod
+    def prove_all_partitions(
+        pp: PublicParams,
+        pub_inputs: PublicInputs,
+        priv_inputs: PrivateInputs,
+        partitions: int,
+    ) -> list[list[Proof]]:
+        graph = pp.graph
+        layers = pp.layers
+        t_aux = priv_inputs.t_aux
+        labels = t_aux.labels
+        result = []
+        for k in range(partitions):
+            challenges = pub_inputs.challenges(
+                pp.layer_challenges, graph.size(), k
+            )
+            proofs_k = []
+            for challenge in challenges:
+                assert 1 < challenge < graph.size()
+                comm_d_proof = t_aux.tree_d.gen_proof(challenge)
+
+                base_parents = [int(p) for p in graph.base_parents(challenge)]
+                exp_parents = [int(p) for p in graph.expanded_parents(challenge)]
+
+                def column_proof(node: int) -> ColumnProof:
+                    col = labels.column(node)
+                    incl = t_aux.tree_c.gen_proof(node)
+                    return ColumnProof(column=col, inclusion_proof=incl)
+
+                rcp = ReplicaColumnProof(
+                    c_x=column_proof(challenge),
+                    drg_parents=[column_proof(p) for p in base_parents],
+                    exp_parents=[column_proof(p) for p in exp_parents],
+                )
+
+                comm_r_last_proof = t_aux.tree_r_last.gen_proof(challenge)
+
+                labeling_proofs = []
+                encoding_proof = None
+                for layer in range(1, layers + 1):
+                    if layer == 1:
+                        parents_data = [labels.label(1, p) for p in base_parents]
+                    else:
+                        parents_data = [
+                            labels.label(layer, p) for p in base_parents
+                        ] + [labels.label(layer - 1, p) for p in exp_parents]
+                    full = repeat_parents(parents_data)
+                    lp = LabelingProof(layer_index=layer, node=challenge, parents=full)
+                    expected = rcp.c_x.get_node_at_layer(layer)
+                    assert lp.verify(pub_inputs.replica_id, expected), (
+                        f"invalid labeling proof generated at layer {layer}"
+                    )
+                    labeling_proofs.append(lp)
+                    if layer == layers:
+                        encoding_proof = EncodingProof(
+                            layer_index=layer, node=challenge, parents=full
+                        )
+
+                proofs_k.append(
+                    Proof(
+                        comm_d_proof=comm_d_proof,
+                        replica_column_proofs=rcp,
+                        comm_r_last_proof=comm_r_last_proof,
+                        labeling_proofs=labeling_proofs,
+                        encoding_proof=encoding_proof,
+                    )
+                )
+            result.append(proofs_k)
+        return result
+
+    @staticmethod
+    def verify_all_partitions(
+        pp: PublicParams, pub_inputs: PublicInputs, partition_proofs: list[list[Proof]]
+    ) -> bool:
+        graph = pp.graph
+        for k, proofs in enumerate(partition_proofs):
+            challenges = pub_inputs.challenges(pp.layer_challenges, graph.size(), k)
+            if len(challenges) != len(proofs):
+                return False
+            for challenge, proof in zip(challenges, proofs):
+                if not proof.verify(pp, pub_inputs, challenge, graph):
+                    return False
+        return True
+
+
+# ---------------------------------------------------------------------------
+# Labeling inner loop (host path; native C++ replaces this at scale)
+# ---------------------------------------------------------------------------
+
+
+def _label_layer(
+    out: np.ndarray,
+    prev_layer: np.ndarray | None,
+    replica_id: bytes,
+    layer: int,
+    base_tbl: np.ndarray,
+    exp_tbl: np.ndarray | None,
+) -> None:
+    nodes = out.shape[0]
+    layer_be = layer.to_bytes(4, "big")
+    sha = hashlib.sha256
+    for node in range(nodes):
+        buf = layer_be + node.to_bytes(8, "big") + b"\0" * 20
+        h = sha(replica_id)
+        h.update(buf)
+        if node > 0:
+            bp = base_tbl[node]
+            parents = [out[p].tobytes() for p in bp]
+            if exp_tbl is not None:
+                parents += [prev_layer[p].tobytes() for p in exp_tbl[node]]
+            n = len(parents)
+            for i in range(37):
+                h.update(parents[i % n])
+        d = bytearray(h.digest())
+        d[31] &= 0x3F
+        out[node] = np.frombuffer(bytes(d), dtype=np.uint8)

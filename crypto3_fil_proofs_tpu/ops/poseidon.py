@@ -139,19 +139,82 @@ def generate_mds(t: int) -> list[list[int]]:
 
 
 class PoseidonConstants:
-    def __init__(self, arity: int):
+    def __init__(self, arity: int, precomputed=None):
         self.arity = arity
         self.t = arity + 1
-        self.r_f, self.r_p = round_numbers(arity)
-        self.round_constants = generate_round_constants(self.t, self.r_f, self.r_p)
-        self.mds = generate_mds(self.t)
+        if precomputed is not None:
+            self.r_f, self.r_p, self.round_constants, self.mds = precomputed
+        else:
+            self.r_f, self.r_p = round_numbers(arity)
+            self.round_constants = generate_round_constants(
+                self.t, self.r_f, self.r_p
+            )
+            self.mds = generate_mds(self.t)
         # Merkle-tree domain tag (neptune HashType::MerkleTree)
         self.domain_tag = (1 << arity) - 1
 
 
+def _constants_path():
+    import os
+
+    return os.path.join(os.path.dirname(__file__), "poseidon_constants.npz")
+
+
 @lru_cache(maxsize=None)
 def poseidon_constants(arity: int) -> PoseidonConstants:
+    """Constants for an arity, loaded from the precomputed package file.
+
+    The Grain LFSR generation is deterministic but slow in Python, so
+    the protocol arities ship precomputed (see save_precomputed_constants);
+    unknown arities fall back to live generation.
+    """
+    import os
+
+    import numpy as np
+
+    path = _constants_path()
+    if os.path.exists(path):
+        with np.load(path) as data:
+            key = f"a{arity}"
+            if f"{key}_rc" in data:
+                r_f, r_p = (int(v) for v in data[f"{key}_rounds"])
+                rc = [
+                    int.from_bytes(row.tobytes(), "little")
+                    for row in data[f"{key}_rc"]
+                ]
+                t = arity + 1
+                mds_flat = [
+                    int.from_bytes(row.tobytes(), "little")
+                    for row in data[f"{key}_mds"]
+                ]
+                mds = [mds_flat[i * t : (i + 1) * t] for i in range(t)]
+                return PoseidonConstants(arity, (r_f, r_p, rc, mds))
     return PoseidonConstants(arity)
+
+
+def save_precomputed_constants(arities=(2, 4, 8, 11, 36)) -> None:
+    """Generate + persist constants for the protocol arities
+    (reference: core/hasher/types.hpp:34-42)."""
+    import numpy as np
+
+    payload = {}
+    for arity in arities:
+        c = PoseidonConstants(arity)
+        payload[f"a{arity}_rounds"] = np.array([c.r_f, c.r_p], dtype=np.int64)
+        payload[f"a{arity}_rc"] = np.stack(
+            [
+                np.frombuffer(v.to_bytes(32, "little"), dtype=np.uint8)
+                for v in c.round_constants
+            ]
+        )
+        payload[f"a{arity}_mds"] = np.stack(
+            [
+                np.frombuffer(v.to_bytes(32, "little"), dtype=np.uint8)
+                for row in c.mds
+                for v in row
+            ]
+        )
+    np.savez_compressed(_constants_path(), **payload)
 
 
 def permutation(state: list[int], consts: PoseidonConstants) -> list[int]:

@@ -9,6 +9,9 @@ layers=2/partitions=1/challenges=2 for test sector classes).
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The axon TPU-tunnel plugin ignores JAX_PLATFORMS; JAX_PLATFORM_NAME
+# does force the cpu client to be the default backend.
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

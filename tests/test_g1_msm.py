@@ -1,0 +1,115 @@
+"""Batched G1 curve ops + Pippenger MSM vs host golden arithmetic."""
+import random
+
+import numpy as np
+import pytest
+
+from crypto3_fil_proofs_tpu.ops import g1_jax as g1
+from crypto3_fil_proofs_tpu.ops import msm as msm_mod
+from crypto3_fil_proofs_tpu.ops.bls12_381 import (
+    G1_GEN,
+    G1_INF,
+    R,
+    g1_add,
+    g1_eq,
+    g1_from_affine,
+    g1_mul,
+    g1_msm_naive,
+)
+
+
+def _rand_points(count, seed):
+    rng = random.Random(seed)
+    return [g1_mul(g1_from_affine(G1_GEN), rng.randrange(1, R)) for _ in range(count)]
+
+
+def _eq_host(dev_point, host_point):
+    return g1_eq(dev_point, host_point)
+
+
+def test_double_add_match_host(rng_seed):
+    pts = _rand_points(4, rng_seed)
+    X, Y, Z = [], [], []
+    for p in pts:
+        px, py, _ = g1.points_to_device([p])
+        X.append(px[0])
+        Y.append(py[0])
+    import jax.numpy as jnp
+
+    from crypto3_fil_proofs_tpu.ops.fr_limbs import fq_ops
+
+    xs = jnp.stack(X)
+    ys = jnp.stack(Y)
+    ones = jnp.broadcast_to(fq_ops.encode(1), xs.shape)
+    P = (xs, ys, ones)
+    # doubling
+    got = g1.points_from_device(g1.double(P))
+    for g, p in zip(got, pts):
+        assert _eq_host(g, g1_add(p, p))
+    # pairwise add: P[i] + P[(i+1)%n]
+    Q = (jnp.roll(xs, -1, 0), jnp.roll(ys, -1, 0), jnp.roll(ones, -1, 0))
+    got = g1.points_from_device(g1.add(P, Q))
+    for i, g in enumerate(got):
+        assert _eq_host(g, g1_add(pts[i], pts[(i + 1) % len(pts)]))
+
+
+def test_add_edge_cases(rng_seed):
+    import jax.numpy as jnp
+
+    from crypto3_fil_proofs_tpu.ops.fr_limbs import fq_ops
+
+    p = _rand_points(1, rng_seed + 9)[0]
+    px, py, _ = g1.points_to_device([p])
+    one = jnp.broadcast_to(fq_ops.encode(1), px.shape)
+    P = (px, py, one)
+    inf = g1.infinity((1,))
+    # P + inf = P; inf + P = P; P + P = 2P; P + (-P) = inf
+    assert _eq_host(g1.points_from_device(g1.add(P, inf))[0], p)
+    assert _eq_host(g1.points_from_device(g1.add(inf, P))[0], p)
+    assert _eq_host(g1.points_from_device(g1.add(P, P))[0], g1_add(p, p))
+    negy = fq_ops.neg(py)
+    negP = (px, negy, one)
+    got = g1.points_from_device(g1.add(P, negP))[0]
+    assert got[2] == 0  # infinity
+    # mixed add edge cases
+    got = g1.points_from_device(g1.add_mixed(inf, (px, py)))[0]
+    assert _eq_host(got, p)
+    got = g1.points_from_device(g1.add_mixed(P, (px, py)))[0]
+    assert _eq_host(got, g1_add(p, p))
+    got = g1.points_from_device(g1.add_mixed(P, (px, negy)))[0]
+    assert got[2] == 0
+    # masked-out q keeps p
+    got = g1.points_from_device(
+        g1.add_mixed(P, (px, py), jnp.asarray([False]))
+    )[0]
+    assert _eq_host(got, p)
+
+
+@pytest.mark.parametrize("n_buckets", [16, 256])
+def test_msm_matches_naive(n_buckets, rng_seed):
+    rng = random.Random(rng_seed + n_buckets)
+    pts = _rand_points(33, rng_seed + 1)
+    scalars = [rng.randrange(R) for _ in pts]
+    # include edge scalars
+    scalars[0] = 0
+    scalars[1] = 1
+    scalars[2] = R - 1
+    got = msm_mod.msm(pts, scalars, n_buckets=n_buckets)
+    want = g1_msm_naive(pts, scalars)
+    assert g1_eq(got, want)
+
+
+def test_msm_all_zero_scalars(rng_seed):
+    pts = _rand_points(4, rng_seed + 2)
+    got = msm_mod.msm(pts, [0, 0, 0, 0], n_buckets=16)
+    assert got[2] == 0  # infinity
+
+
+def test_msm_repeated_points(rng_seed):
+    """Duplicate points (the bench tiling case) still sum correctly."""
+    rng = random.Random(rng_seed + 3)
+    base = _rand_points(2, rng_seed + 4)
+    pts = base * 8
+    scalars = [rng.randrange(R) for _ in pts]
+    got = msm_mod.msm(pts, scalars, n_buckets=16)
+    assert g1_eq(got, g1_msm_naive(pts, scalars))

@@ -1,0 +1,139 @@
+"""Piece staging + unseal API.
+
+Re-implements reference libs/filecoin api/mod.hpp:46-378 +
+src/api/mod.cpp: `add_piece` (fr32-pad + alignment while writing to the
+staged sector), `write_and_preprocess`, `generate_piece_commitment`,
+`get_unsealed_range`/`unseal_range` (label regeneration + decode +
+fr32 unpad), `validate_cache_for_precommit_phase2` / `verify_store`.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..constants import NODE_SIZE, SECTOR_SHAPES
+from ..core import cache_key
+from ..core.fr32 import to_unpadded_bytes, write_padded, write_unpadded
+from ..models.porep.stacked.vanilla.params import generate_replica_id
+from ..models.porep.stacked.vanilla.proof import StackedDrg
+from ..parameters import public_params
+from ..types import PieceInfo, PoRepConfig
+from . import pieces as piece_api
+from .pieces import get_piece_alignment, get_piece_start_byte
+
+
+def generate_piece_commitment(data: bytes, piece_size: int | None = None) -> PieceInfo:
+    """comm_p of an unpadded piece (reference api/mod.hpp
+    generate_piece_commitment)."""
+    info = piece_api.generate_piece_commitment(data, piece_size)
+    return PieceInfo(commitment=info.commitment, size=info.size)
+
+
+def add_piece(
+    source: bytes,
+    target_path: str,
+    piece_size: int,
+    existing_piece_sizes: list[int],
+) -> tuple[PieceInfo, int]:
+    """Append a piece to the staged sector file, fr32-padding the bytes
+    and aligning to the piece lattice (reference api/mod.hpp add_piece).
+
+    Returns (piece_info, total unpadded bytes written incl. alignment).
+    """
+    assert len(source) == piece_size
+    alignment = get_piece_alignment(sum(existing_piece_sizes), piece_size)
+    start = get_piece_start_byte(existing_piece_sizes, piece_size)
+    # fr32-pad the aligned byte stream: left zeros | piece | right zeros
+    aligned = (
+        b"\0" * alignment.left_bytes + source + b"\0" * alignment.right_bytes
+    )
+    padded = write_padded(aligned)
+    with open(target_path, "ab") as f:
+        f.write(padded)
+    info = generate_piece_commitment(source, piece_size)
+    written = alignment.left_bytes + piece_size + alignment.right_bytes
+    return info, written
+
+
+def write_and_preprocess(
+    source: bytes, target_path: str, piece_size: int,
+    existing_piece_sizes: list[int],
+) -> tuple[PieceInfo, int]:
+    """(reference api/mod.hpp write_and_preprocess — alias of add_piece)"""
+    return add_piece(source, target_path, piece_size, existing_piece_sizes)
+
+
+def get_unsealed_range(
+    config: PoRepConfig,
+    cache_path: str,
+    sealed_path: str,
+    output_path: str,
+    prover_id: bytes,
+    sector_id: int,
+    comm_d: bytes,
+    ticket: bytes,
+    offset: int,
+    num_bytes: int,
+) -> int:
+    """Unseal [offset, offset+num_bytes) unpadded bytes to output_path
+    (reference api/mod.hpp:63-137)."""
+    data = unseal_range(
+        config, cache_path, sealed_path, prover_id, sector_id, comm_d, ticket,
+        offset, num_bytes,
+    )
+    with open(output_path, "wb") as f:
+        f.write(data)
+    return len(data)
+
+
+def unseal_range(
+    config: PoRepConfig,
+    cache_path: str,
+    sealed_path: str,
+    prover_id: bytes,
+    sector_id: int,
+    comm_d: bytes,
+    ticket: bytes,
+    offset: int,
+    num_bytes: int,
+) -> bytes:
+    """Decode the replica (label regeneration + subtract) and return the
+    fr32-unpadded range (reference unseal_range ->
+    extract_and_invert_transform_layers, stacked/vanilla/proof.hpp:268-295)."""
+    pp = public_params(config)
+    nodes = config.sector_size // NODE_SIZE
+    replica = np.fromfile(sealed_path, dtype=np.uint8).reshape(nodes, NODE_SIZE)
+    replica_id = generate_replica_id(
+        prover_id, sector_id, ticket, comm_d, config.porep_id
+    )
+    decoded = StackedDrg.extract_and_invert_transform_layers(
+        pp, replica_id, replica
+    )
+    unpadded = write_unpadded(decoded.tobytes())
+    max_bytes = to_unpadded_bytes(config.sector_size)
+    end = min(offset + num_bytes, max_bytes)
+    return unpadded[offset:end]
+
+
+def validate_cache_for_precommit_phase2(
+    cache_path: str, replica_path: str, config: PoRepConfig
+) -> bool:
+    """Consistency check before resuming from cached phase-1 files
+    (reference api/mod.hpp validate_cache_for_precommit_phase2 +
+    src/api/mod.cpp verify_store)."""
+    from ..constants import LAYERS
+
+    nodes = config.sector_size // NODE_SIZE
+    if not os.path.exists(replica_path):
+        return False
+    if os.path.getsize(replica_path) != config.sector_size:
+        return False
+    for layer in range(1, LAYERS[config.sector_size] + 1):
+        p = os.path.join(
+            cache_path, f"sc-02-data-{cache_key.label_layer(layer)}.dat"
+        )
+        if not os.path.exists(p) or os.path.getsize(p) != nodes * NODE_SIZE:
+            return False
+    tree_d = os.path.join(cache_path, f"sc-02-data-{cache_key.COMM_D_TREE}.dat")
+    return os.path.exists(tree_d)

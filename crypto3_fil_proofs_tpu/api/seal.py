@@ -1,0 +1,397 @@
+"""Sealing API: the resumable 4-phase seal pipeline + verification.
+
+Re-implements reference libs/filecoin api/seal.hpp:37-520:
+- seal_pre_commit_phase1 (:37-112): copy+pad data, tree_d/comm_d,
+  verify_pieces, replica_id, SDR labeling persisted per layer.
+- seal_pre_commit_phase2 (:114-177): tree_c, encode + tree_r_last,
+  comm_r = H2(comm_c, comm_r_last); persist p_aux/t_aux.
+- seal_commit_phase1 (:179-258): reload trees, vanilla
+  prove_all_partitions + sanity verify.
+- seal_commit_phase2 (:260-337): Groth16 circuit proofs per partition,
+  192 B/partition serialization, verify_seal sanity.
+- verify_seal / verify_batch_seal (:339-440), fauxrep (:487-520).
+
+Checkpoint files use the reference cache-key vocabulary (p_aux, t_aux,
+tree-d, tree-c, tree-r-last, layer-N — core/cache_key.hpp); p_aux is
+the same raw 64-byte comm_c||comm_r_last layout.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from ..constants import NODE_SIZE, SECTOR_SHAPES
+from ..core import cache_key
+from ..core.compound import CompoundProof, MultiProof
+from ..core.fr32 import pad_sector
+from ..core.merkle.builders import create_tree, get_base_tree_count, split_config
+from ..core.merkle.storage import DiskStore, StoreConfig
+from ..core.merkle.tree import CompoundMerkleTree, MerkleTree
+from ..models.porep.stacked.circuit.compound import StackedCompound
+from ..models.porep.stacked.vanilla.params import (
+    Labels,
+    PersistentAux,
+    PrivateInputs,
+    PublicInputs,
+    Tau,
+    TemporaryAux,
+    generate_replica_id,
+)
+from ..models.porep.stacked.vanilla.proof import StackedDrg
+from ..parameters import public_params
+from ..types import (
+    PieceInfo,
+    PoRepConfig,
+    SealCommitOutput,
+    SealCommitPhase1Output,
+    SealPreCommitOutput,
+    SealPreCommitPhase1Output,
+)
+from . import pieces as piece_api
+
+
+def compute_comm_d(sector_size: int, piece_infos: list[PieceInfo]) -> bytes:
+    """(reference src/api/seal.cpp compute_comm_d)"""
+    infos = [
+        piece_api.PieceInfo(p.commitment, p.size) for p in piece_infos
+    ]
+    return piece_api.compute_comm_d(sector_size, infos)
+
+
+def _layer_path(cache_path: str, layer: int) -> str:
+    return os.path.join(
+        cache_path, f"sc-02-data-{cache_key.label_layer(layer)}.dat"
+    )
+
+
+def _paux_path(cache_path: str) -> str:
+    return os.path.join(cache_path, cache_key.PAUX)
+
+
+def _taux_path(cache_path: str) -> str:
+    return os.path.join(cache_path, cache_key.TAUX)
+
+
+def seal_pre_commit_phase1(
+    config: PoRepConfig,
+    cache_path: str,
+    in_path: str,
+    out_path: str,
+    prover_id: bytes,
+    sector_id: int,
+    ticket: bytes,
+    piece_infos: list[PieceInfo],
+) -> SealPreCommitPhase1Output:
+    pp = public_params(config)
+    nodes = config.sector_size // NODE_SIZE
+    os.makedirs(cache_path, exist_ok=True)
+
+    # copy the (already fr32-preprocessed) staged data, zero-pad to the
+    # sector size (reference seal.hpp:55-64)
+    with open(in_path, "rb") as f:
+        staged = f.read()
+    assert len(staged) <= config.sector_size, "data exceeds sector"
+    padded = staged + b"\0" * (config.sector_size - len(staged))
+    with open(out_path, "wb") as f:
+        f.write(padded)
+    leaves = np.frombuffer(padded, dtype=np.uint8).reshape(nodes, NODE_SIZE).copy()
+
+    # tree_d (binary SHA-256) persisted in the cache dir
+    tree_d_config = StoreConfig(cache_path, cache_key.COMM_D_TREE)
+    tree_d = MerkleTree.build(leaves, 2, "sha256", tree_d_config)
+    comm_d = tree_d.root()
+
+    assert piece_api.verify_pieces(
+        comm_d,
+        [piece_api.PieceInfo(p.commitment, p.size) for p in piece_infos],
+        config.sector_size,
+    ), "pieces and comm_d do not match"
+
+    replica_id = generate_replica_id(
+        prover_id, sector_id, ticket, comm_d, config.porep_id
+    )
+
+    # SDR labeling, persisted per layer (reference proof.hpp:339-354)
+    labels = StackedDrg.generate_labels(pp.graph, pp.layers, replica_id)
+    for layer in range(1, pp.layers + 1):
+        labels.layer(layer).tofile(_layer_path(cache_path, layer))
+
+    return SealPreCommitPhase1Output(
+        labels_config={
+            "layers": pp.layers,
+            "paths": [_layer_path(cache_path, l) for l in range(1, pp.layers + 1)],
+        },
+        config={"path": cache_path, "id": cache_key.COMM_D_TREE},
+        comm_d=comm_d,
+    )
+
+
+def _load_labels(labels_config: dict, nodes: int) -> Labels:
+    arrays = [
+        np.fromfile(p, dtype=np.uint8).reshape(nodes, NODE_SIZE)
+        for p in labels_config["paths"]
+    ]
+    return Labels(arrays)
+
+
+def seal_pre_commit_phase2(
+    config: PoRepConfig,
+    phase1_output: SealPreCommitPhase1Output,
+    cache_path: str,
+    replica_path: str,
+) -> SealPreCommitOutput:
+    from ..ops.fr_numpy import fr_add_bytes
+    from ..ops.poseidon import hash2
+    from ..ops.tree_hash import get_backend
+
+    pp = public_params(config)
+    nodes = config.sector_size // NODE_SIZE
+    shape = SECTOR_SHAPES[config.sector_size]
+    labels = _load_labels(phase1_output.labels_config, nodes)
+
+    # data leaves from the padded staging copy (replica_path currently
+    # holds the padded data written by phase 1)
+    data = np.fromfile(replica_path, dtype=np.uint8).reshape(nodes, NODE_SIZE)
+
+    # tree_c over column hashes
+    count = get_base_tree_count(shape[1], shape[2])
+    tree_c_cfg = split_config(
+        StoreConfig(cache_path, cache_key.COMM_C_TREE), count
+    )
+    hb = get_backend("poseidon")
+    cols = np.stack(labels.layers_data, axis=1).reshape(
+        nodes * labels.layers, NODE_SIZE
+    )
+    col_leaves = hb.hash_level(cols, labels.layers)
+    tree_c = create_tree(col_leaves, shape[0], shape[1], shape[2], "poseidon", tree_c_cfg)
+    comm_c = tree_c.root()
+
+    # encode + replica + tree_r_last
+    replica = fr_add_bytes(data, labels.layer(labels.layers))
+    replica.tofile(replica_path)
+    tree_r_cfg = split_config(
+        StoreConfig(cache_path, cache_key.COMM_R_LAST_TREE), count
+    )
+    tree_r_last = create_tree(
+        replica, shape[0], shape[1], shape[2], "poseidon", tree_r_cfg
+    )
+    comm_r_last = tree_r_last.root()
+
+    comm_r = hash2(
+        int.from_bytes(comm_c, "little"), int.from_bytes(comm_r_last, "little")
+    ).to_bytes(32, "little")
+
+    # checkpoint p_aux (raw 64 B, reference layout) + t_aux (json)
+    with open(_paux_path(cache_path), "wb") as f:
+        f.write(comm_c + comm_r_last)
+    with open(_taux_path(cache_path), "w") as f:
+        json.dump(
+            {
+                "labels": phase1_output.labels_config,
+                "tree_d": {"path": cache_path, "id": cache_key.COMM_D_TREE},
+                "tree_c": {"path": cache_path, "id": cache_key.COMM_C_TREE},
+                "tree_r_last": {
+                    "path": cache_path,
+                    "id": cache_key.COMM_R_LAST_TREE,
+                },
+                "shape": list(shape),
+            },
+            f,
+        )
+    return SealPreCommitOutput(comm_r=comm_r, comm_d=phase1_output.comm_d)
+
+
+def _reload_tree(
+    cache_path: str, tree_id: str, leafs: int, arity: int, sub: int, top: int,
+    backend: str,
+):
+    count = get_base_tree_count(sub, top)
+    cfgs = split_config(StoreConfig(cache_path, tree_id), count)
+    leafs_per = leafs // count
+    trees = []
+    for cfg in cfgs:
+        store = DiskStore(cfg, create=False)
+        trees.append(MerkleTree.from_store(store, leafs_per, arity, backend))
+    if count == 1:
+        return trees[0]
+    return CompoundMerkleTree(trees, sub, top)
+
+
+def seal_commit_phase1(
+    config: PoRepConfig,
+    cache_path: str,
+    replica_path: str,
+    prover_id: bytes,
+    sector_id: int,
+    ticket: bytes,
+    seed: bytes,
+    pre_commit: SealPreCommitOutput,
+    piece_infos: list[PieceInfo],
+) -> SealCommitPhase1Output:
+    pp = public_params(config)
+    nodes = config.sector_size // NODE_SIZE
+    shape = SECTOR_SHAPES[config.sector_size]
+
+    with open(_paux_path(cache_path), "rb") as f:
+        raw = f.read()
+    p_aux = PersistentAux(comm_c=raw[:32], comm_r_last=raw[32:64])
+    with open(_taux_path(cache_path)) as f:
+        taux = json.load(f)
+
+    labels = _load_labels(taux["labels"], nodes)
+    tree_d = _reload_tree(cache_path, cache_key.COMM_D_TREE, nodes, 2, 0, 0, "sha256")
+    col_leafs = nodes
+    tree_c = _reload_tree(
+        cache_path, cache_key.COMM_C_TREE, col_leafs, shape[0], shape[1], shape[2],
+        "poseidon",
+    )
+    tree_r_last = _reload_tree(
+        cache_path, cache_key.COMM_R_LAST_TREE, nodes, shape[0], shape[1], shape[2],
+        "poseidon",
+    )
+    t_aux = TemporaryAux(
+        labels=labels, tree_d=tree_d, tree_c=tree_c, tree_r_last=tree_r_last
+    )
+
+    replica_id = generate_replica_id(
+        prover_id, sector_id, ticket, pre_commit.comm_d, config.porep_id
+    )
+    pub_inputs = PublicInputs(
+        replica_id=replica_id,
+        seed=seed,
+        tau=Tau(comm_d=pre_commit.comm_d, comm_r=pre_commit.comm_r),
+        k=None,
+    )
+    priv_inputs = PrivateInputs(p_aux=p_aux, t_aux=t_aux)
+    vanilla_proofs = StackedDrg.prove_all_partitions(
+        pp, pub_inputs, priv_inputs, config.partitions
+    )
+    assert StackedDrg.verify_all_partitions(pp, pub_inputs, vanilla_proofs), (
+        "generated vanilla proofs do not verify"
+    )
+    return SealCommitPhase1Output(
+        vanilla_proofs=vanilla_proofs,
+        comm_r=pre_commit.comm_r,
+        comm_d=pre_commit.comm_d,
+        replica_id=replica_id,
+        seed=seed,
+        ticket=ticket,
+    )
+
+
+def seal_commit_phase2(
+    config: PoRepConfig,
+    phase1_output: SealCommitPhase1Output,
+    prover_id: bytes,
+    sector_id: int,
+) -> SealCommitOutput:
+    from ..caches import get_stacked_params
+
+    pp = public_params(config)
+    shape = SECTOR_SHAPES[config.sector_size]
+    compound = CompoundProof(StackedCompound(shape=shape))
+    pk = get_stacked_params(config, pp, compound)
+
+    pub_inputs = PublicInputs(
+        replica_id=phase1_output.replica_id,
+        seed=phase1_output.seed,
+        tau=Tau(comm_d=phase1_output.comm_d, comm_r=phase1_output.comm_r),
+        k=None,
+    )
+    multi = compound.prove(pp, pub_inputs, phase1_output.vanilla_proofs, pk)
+    proof_bytes = multi.to_bytes()
+
+    assert verify_seal(
+        config,
+        phase1_output.comm_r,
+        phase1_output.comm_d,
+        prover_id,
+        sector_id,
+        phase1_output.ticket,
+        phase1_output.seed,
+        proof_bytes,
+    ), "post-commit verification failed"
+    return SealCommitOutput(proof=proof_bytes)
+
+
+def verify_seal(
+    config: PoRepConfig,
+    comm_r: bytes,
+    comm_d: bytes,
+    prover_id: bytes,
+    sector_id: int,
+    ticket: bytes,
+    seed: bytes,
+    proof_bytes: bytes,
+) -> bool:
+    """(reference api/seal.hpp:339-395)"""
+    from ..caches import get_stacked_verifying_key
+    from .utilities import as_safe_commitment
+
+    try:
+        as_safe_commitment(comm_r)
+        as_safe_commitment(comm_d)
+    except ValueError:
+        return False
+    if int.from_bytes(comm_r, "little") == 0 or int.from_bytes(comm_d, "little") == 0:
+        return False  # "Invalid all zero commitment"
+
+    pp = public_params(config)
+    shape = SECTOR_SHAPES[config.sector_size]
+    compound = CompoundProof(StackedCompound(shape=shape))
+    vk = get_stacked_verifying_key(config, pp, compound)
+
+    replica_id = generate_replica_id(
+        prover_id, sector_id, ticket, comm_d, config.porep_id
+    )
+    pub_inputs = PublicInputs(
+        replica_id=replica_id,
+        seed=seed,
+        tau=Tau(comm_d=comm_d, comm_r=comm_r),
+        k=None,
+    )
+    try:
+        multi = MultiProof.from_bytes(proof_bytes, config.partitions)
+    except (AssertionError, ValueError):
+        return False
+    return compound.verify(pp, pub_inputs, multi, vk)
+
+
+def verify_batch_seal(config: PoRepConfig, batch: list[dict]) -> bool:
+    """(reference api/seal.hpp verify_batch_seal — all-or-nothing)"""
+    return all(verify_seal(config, **item) for item in batch)
+
+
+def fauxrep(config: PoRepConfig, cache_path: str, out_path: str) -> bytes:
+    """Fake replication for chain-sync testing: random comm_r, no data
+    (reference api/seal.hpp:487-520)."""
+    import secrets
+
+    from ..ops.bls12_381 import R
+
+    os.makedirs(cache_path, exist_ok=True)
+    comm_c = (secrets.randbelow(R)).to_bytes(32, "little")
+    comm_r_last = (secrets.randbelow(R)).to_bytes(32, "little")
+    from ..ops.poseidon import hash2
+
+    comm_r = hash2(
+        int.from_bytes(comm_c, "little"), int.from_bytes(comm_r_last, "little")
+    ).to_bytes(32, "little")
+    with open(_paux_path(cache_path), "wb") as f:
+        f.write(comm_c + comm_r_last)
+    with open(out_path, "wb") as f:
+        f.write(b"\0" * config.sector_size)
+    return comm_r
+
+
+def clear_cache(cache_path: str) -> None:
+    """Drop what PoSt does not need (reference api/post.hpp:151-173
+    clear_cache + TemporaryAux::clear_temp params.hpp:201-258): layer
+    files, tree_c and tree_d; keep p_aux/t_aux and tree_r_last."""
+    for name in os.listdir(cache_path):
+        if name.startswith("sc-02-data-layer-") or cache_key.COMM_C_TREE in name or (
+            cache_key.COMM_D_TREE in name and cache_key.COMM_R_LAST_TREE not in name
+        ):
+            os.remove(os.path.join(cache_path, name))

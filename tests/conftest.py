@@ -8,9 +8,7 @@ layers=2/partitions=1/challenges=2 for test sector classes).
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-# The axon TPU-tunnel plugin ignores JAX_PLATFORMS; JAX_PLATFORM_NAME
-# does force the cpu client to be the default backend.
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -18,7 +16,35 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The axon TPU-tunnel sitecustomize force-registers its plugin and
+# resets JAX_PLATFORMS=axon in every interpreter; its tunnel threads
+# have caused multi-minute futex/IO stalls inside test processes. A
+# post-import config update (before any backend init) reliably pins the
+# cpu client and keeps the tunnel out of tests entirely.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import tempfile
+
+# Keep runtime caches inside the workspace/tmp (reference defaults live
+# in /var/tmp — reference core/parameter_cache.hpp:52, cache.hpp:52).
+os.environ.setdefault(
+    "FIL_PROOFS_PARAMETER_CACHE", tempfile.mkdtemp(prefix="fil-params-")
+)
+os.environ.setdefault(
+    "FIL_PROOFS_PARENT_CACHE", tempfile.mkdtemp(prefix="fil-parents-")
+)
+
+import faulthandler  # noqa: E402
+
 import pytest  # noqa: E402
+
+# Long XLA compiles are expected; if a test stalls >5 min this dumps all
+# thread stacks to a file (pytest captures stderr, so a file is the only
+# way to see the dump while the process is still stuck).
+_stall_log = open(f"/tmp/pytest_stall_{os.getpid()}.log", "w")
+faulthandler.dump_traceback_later(300, repeat=True, file=_stall_log)
 
 
 @pytest.fixture(scope="session")

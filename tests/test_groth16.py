@@ -1,0 +1,90 @@
+"""Groth16 end-to-end: setup/prove/verify on small circuits.
+
+Mirrors the reference compound ladder's SNARK bottom layer
+(core/proof/compound_proof.hpp prove/verify; 192-byte serialization
+per constants.hpp:93 SINGLE_PARTITION_PROOF_LEN).
+"""
+import random
+
+import pytest
+
+from crypto3_fil_proofs_tpu.ops.bls12_381 import R
+from crypto3_fil_proofs_tpu.zk import groth16
+from crypto3_fil_proofs_tpu.zk.r1cs import ConstraintSystem, LinearCombination, lc_one
+from crypto3_fil_proofs_tpu.zk.gadgets.num import AllocatedNum
+
+
+def _cubic_circuit(x: int) -> ConstraintSystem:
+    """Prove knowledge of x with x^3 + x + 5 == out (public)."""
+    cs = ConstraintSystem()
+    xn = AllocatedNum.alloc(cs, x)
+    x2 = xn.square(cs)
+    x3 = x2.mul(cs, xn)
+    out_val = (x3.value + xn.value + 5) % R
+    out = AllocatedNum.alloc_input(cs, out_val)
+    cs.enforce(
+        x3.lc() + xn.lc() + LinearCombination.constant(5),
+        lc_one(),
+        out.lc(),
+        "out",
+    )
+    return cs
+
+
+@pytest.fixture(scope="module")
+def cubic_keypair():
+    cs = _cubic_circuit(3)
+    return groth16.setup(cs, seed=b"test-cubic"), cs
+
+
+def test_groth16_roundtrip(cubic_keypair):
+    pk, cs = cubic_keypair
+    assert cs.is_satisfied()
+    proof = groth16.prove(pk, cs)
+    out_public = cs.values[cs.is_input.index(True, 1)]
+    assert groth16.verify(pk.vk, proof, [out_public])
+    # wrong public input rejects
+    assert not groth16.verify(pk.vk, proof, [(out_public + 1) % R])
+
+
+def test_groth16_proof_bytes_roundtrip_and_determinism(cubic_keypair):
+    pk, cs = cubic_keypair
+    p1 = groth16.prove(pk, cs, randomness=b"fixed")
+    p2 = groth16.prove(pk, cs, randomness=b"fixed")
+    b1, b2 = p1.to_bytes(), p2.to_bytes()
+    assert len(b1) == 192
+    assert b1 == b2  # fixed randomness -> byte-identical proof
+    restored = groth16.Proof.from_bytes(b1)
+    out_public = cs.values[cs.is_input.index(True, 1)]
+    assert groth16.verify(pk.vk, restored, [out_public])
+    # different blinding still verifies, different bytes
+    p3 = groth16.prove(pk, cs, randomness=b"other")
+    assert p3.to_bytes() != b1
+    assert groth16.verify(pk.vk, p3, [out_public])
+
+
+def test_groth16_wrong_witness_fails(cubic_keypair):
+    pk, _ = cubic_keypair
+    bad_cs = _cubic_circuit(4)  # different witness -> different public out
+    proof = groth16.prove(pk, bad_cs)
+    # verifying against the x=3 public output must fail
+    good_out = (3**3 + 3 + 5) % R
+    assert not groth16.verify(pk.vk, proof, [good_out])
+
+
+def test_groth16_poseidon_preimage():
+    """Prove knowledge of a Poseidon-2 preimage (hash public)."""
+    from crypto3_fil_proofs_tpu.ops.poseidon import poseidon_hash
+    from crypto3_fil_proofs_tpu.zk.gadgets.poseidon import poseidon_hash_circuit
+
+    rng = random.Random(7)
+    pre = [rng.randrange(R), rng.randrange(R)]
+    cs = ConstraintSystem()
+    nums = [AllocatedNum.alloc(cs, v) for v in pre]
+    digest = poseidon_hash_circuit(cs, nums, 2)
+    digest.inputize(cs)
+    assert cs.is_satisfied()
+    pk = groth16.setup(cs, seed=b"test-poseidon")
+    proof = groth16.prove(pk, cs)
+    assert groth16.verify(pk.vk, proof, [poseidon_hash(pre, 2)])
+    assert not groth16.verify(pk.vk, proof, [(poseidon_hash(pre, 2) + 1) % R])

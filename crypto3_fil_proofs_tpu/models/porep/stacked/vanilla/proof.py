@@ -281,6 +281,10 @@ def _label_layer(
     base_tbl: np.ndarray,
     exp_tbl: np.ndarray | None,
 ) -> None:
+    from crypto3_fil_proofs_tpu.ops.native import label_layer_native
+
+    if label_layer_native(out, prev_layer, replica_id, layer, base_tbl, exp_tbl):
+        return
     nodes = out.shape[0]
     layer_be = layer.to_bytes(4, "big")
     sha = hashlib.sha256

@@ -1,0 +1,230 @@
+/* Native SDR labeling + batched SHA-256 engine.
+ *
+ * TPU-native framework's host-side hot loop, replacing the reference's
+ * multicore C++ SDR labeler (reference: stacked/vanilla/create_label.hpp
+ * :41-122, proof.hpp:297-360 generate_labels; configuration.hpp:60-65
+ * multicore settings). Labeling is inherently sequential per layer
+ * (node n reads base parents < n of the same layer), so the kernel is a
+ * tight single-thread loop with SHA-NI acceleration; expander parents
+ * read the previous layer.
+ *
+ * Message layout (must match models/porep/stacked/vanilla/params.py
+ * label_message): sha256(replica_id[32] || BE32(layer) BE64(node)
+ * pad-to-32 || 37 cycled parent labels), digest last byte &= 0x3F.
+ *
+ * Also exports sha256_many (batched fixed-length messages, optional Fr
+ * trim) used by the binary tree_d builder (ops/tree_hash.py).
+ */
+#include <stdint.h>
+#include <string.h>
+
+#if defined(__SHA__)
+#include <immintrin.h>
+#define HAVE_SHA_NI 1
+#endif
+
+/* ---------------------------------------------------------------- */
+/* Portable SHA-256 compression                                      */
+/* ---------------------------------------------------------------- */
+
+static const uint32_t K[64] = {
+    0x428a2f98, 0x71374491, 0xb5c0fbcf, 0xe9b5dba5, 0x3956c25b, 0x59f111f1,
+    0x923f82a4, 0xab1c5ed5, 0xd807aa98, 0x12835b01, 0x243185be, 0x550c7dc3,
+    0x72be5d74, 0x80deb1fe, 0x9bdc06a7, 0xc19bf174, 0xe49b69c1, 0xefbe4786,
+    0x0fc19dc6, 0x240ca1cc, 0x2de92c6f, 0x4a7484aa, 0x5cb0a9dc, 0x76f988da,
+    0x983e5152, 0xa831c66d, 0xb00327c8, 0xbf597fc7, 0xc6e00bf3, 0xd5a79147,
+    0x06ca6351, 0x14292967, 0x27b70a85, 0x2e1b2138, 0x4d2c6dfc, 0x53380d13,
+    0x650a7354, 0x766a0abb, 0x81c2c92e, 0x92722c85, 0xa2bfe8a1, 0xa81a664b,
+    0xc24b8b70, 0xc76c51a3, 0xd192e819, 0xd6990624, 0xf40e3585, 0x106aa070,
+    0x19a4c116, 0x1e376c08, 0x2748774c, 0x34b0bcb5, 0x391c0cb3, 0x4ed8aa4a,
+    0x5b9cca4f, 0x682e6ff3, 0x748f82ee, 0x78a5636f, 0x84c87814, 0x8cc70208,
+    0x90befffa, 0xa4506ceb, 0xbef9a3f7, 0xc67178f2};
+
+#define ROR(x, n) (((x) >> (n)) | ((x) << (32 - (n))))
+
+static void compress_portable(uint32_t state[8], const uint8_t block[64]) {
+  uint32_t w[64];
+  for (int i = 0; i < 16; i++)
+    w[i] = ((uint32_t)block[4 * i] << 24) | ((uint32_t)block[4 * i + 1] << 16) |
+           ((uint32_t)block[4 * i + 2] << 8) | (uint32_t)block[4 * i + 3];
+  for (int i = 16; i < 64; i++) {
+    uint32_t s0 = ROR(w[i - 15], 7) ^ ROR(w[i - 15], 18) ^ (w[i - 15] >> 3);
+    uint32_t s1 = ROR(w[i - 2], 17) ^ ROR(w[i - 2], 19) ^ (w[i - 2] >> 10);
+    w[i] = w[i - 16] + s0 + w[i - 7] + s1;
+  }
+  uint32_t a = state[0], b = state[1], c = state[2], d = state[3];
+  uint32_t e = state[4], f = state[5], g = state[6], h = state[7];
+  for (int i = 0; i < 64; i++) {
+    uint32_t S1 = ROR(e, 6) ^ ROR(e, 11) ^ ROR(e, 25);
+    uint32_t ch = (e & f) ^ (~e & g);
+    uint32_t t1 = h + S1 + ch + K[i] + w[i];
+    uint32_t S0 = ROR(a, 2) ^ ROR(a, 13) ^ ROR(a, 22);
+    uint32_t maj = (a & b) ^ (a & c) ^ (b & c);
+    uint32_t t2 = S0 + maj;
+    h = g; g = f; f = e; e = d + t1;
+    d = c; c = b; b = a; a = t1 + t2;
+  }
+  state[0] += a; state[1] += b; state[2] += c; state[3] += d;
+  state[4] += e; state[5] += f; state[6] += g; state[7] += h;
+}
+
+/* ---------------------------------------------------------------- */
+/* SHA-NI compression (canonical Intel x86 SHA extensions sequence)   */
+/* ---------------------------------------------------------------- */
+
+#ifdef HAVE_SHA_NI
+static void compress_shani(uint32_t state[8], const uint8_t block[64]) {
+  const __m128i MASK =
+      _mm_set_epi64x(0x0c0d0e0f08090a0bULL, 0x0405060700010203ULL);
+  __m128i TMP = _mm_loadu_si128((const __m128i *)&state[0]);
+  __m128i STATE1 = _mm_loadu_si128((const __m128i *)&state[4]);
+  TMP = _mm_shuffle_epi32(TMP, 0xB1);        /* CDAB */
+  STATE1 = _mm_shuffle_epi32(STATE1, 0x1B);  /* EFGH */
+  __m128i STATE0 = _mm_alignr_epi8(TMP, STATE1, 8);       /* ABEF */
+  STATE1 = _mm_blend_epi16(STATE1, TMP, 0xF0);            /* CDGH */
+
+  const __m128i ABEF_SAVE = STATE0;
+  const __m128i CDGH_SAVE = STATE1;
+  __m128i MSG, MSGTMP;
+
+  __m128i MSG0 = _mm_shuffle_epi8(
+      _mm_loadu_si128((const __m128i *)(block + 0)), MASK);
+  __m128i MSG1 = _mm_shuffle_epi8(
+      _mm_loadu_si128((const __m128i *)(block + 16)), MASK);
+  __m128i MSG2 = _mm_shuffle_epi8(
+      _mm_loadu_si128((const __m128i *)(block + 32)), MASK);
+  __m128i MSG3 = _mm_shuffle_epi8(
+      _mm_loadu_si128((const __m128i *)(block + 48)), MASK);
+
+#define KV(i)                                                                  \
+  _mm_set_epi64x(((long long)K[(i) + 3] << 32) | K[(i) + 2],                   \
+                 ((long long)K[(i) + 1] << 32) | K[(i)])
+#define R4(Mi, i)                                                              \
+  MSG = _mm_add_epi32(Mi, KV(i));                                              \
+  STATE1 = _mm_sha256rnds2_epu32(STATE1, STATE0, MSG);                         \
+  MSG = _mm_shuffle_epi32(MSG, 0x0E);                                          \
+  STATE0 = _mm_sha256rnds2_epu32(STATE0, STATE1, MSG);
+#define SCHED(M0, M1, M2, M3)                                                  \
+  MSGTMP = _mm_alignr_epi8(M3, M2, 4);                                         \
+  M0 = _mm_add_epi32(_mm_sha256msg1_epu32(M0, M1), MSGTMP);                    \
+  M0 = _mm_sha256msg2_epu32(M0, M3);
+
+  R4(MSG0, 0);
+  R4(MSG1, 4);
+  R4(MSG2, 8);
+  R4(MSG3, 12);
+  SCHED(MSG0, MSG1, MSG2, MSG3); R4(MSG0, 16);
+  SCHED(MSG1, MSG2, MSG3, MSG0); R4(MSG1, 20);
+  SCHED(MSG2, MSG3, MSG0, MSG1); R4(MSG2, 24);
+  SCHED(MSG3, MSG0, MSG1, MSG2); R4(MSG3, 28);
+  SCHED(MSG0, MSG1, MSG2, MSG3); R4(MSG0, 32);
+  SCHED(MSG1, MSG2, MSG3, MSG0); R4(MSG1, 36);
+  SCHED(MSG2, MSG3, MSG0, MSG1); R4(MSG2, 40);
+  SCHED(MSG3, MSG0, MSG1, MSG2); R4(MSG3, 44);
+  SCHED(MSG0, MSG1, MSG2, MSG3); R4(MSG0, 48);
+  SCHED(MSG1, MSG2, MSG3, MSG0); R4(MSG1, 52);
+  SCHED(MSG2, MSG3, MSG0, MSG1); R4(MSG2, 56);
+  SCHED(MSG3, MSG0, MSG1, MSG2); R4(MSG3, 60);
+#undef R4
+#undef SCHED
+#undef KV
+
+  STATE0 = _mm_add_epi32(STATE0, ABEF_SAVE);
+  STATE1 = _mm_add_epi32(STATE1, CDGH_SAVE);
+
+  TMP = _mm_shuffle_epi32(STATE0, 0x1B);       /* FEBA */
+  STATE1 = _mm_shuffle_epi32(STATE1, 0xB1);    /* DCHG */
+  STATE0 = _mm_blend_epi16(TMP, STATE1, 0xF0); /* DCBA */
+  STATE1 = _mm_alignr_epi8(STATE1, TMP, 8);    /* HGFE */
+
+  _mm_storeu_si128((__m128i *)&state[0], STATE0);
+  _mm_storeu_si128((__m128i *)&state[4], STATE1);
+}
+#endif /* HAVE_SHA_NI */
+
+static void (*compress)(uint32_t[8], const uint8_t[64]) = compress_portable;
+
+void label_engine_init(int use_shani) {
+#ifdef HAVE_SHA_NI
+  compress = use_shani ? compress_shani : compress_portable;
+#else
+  (void)use_shani;
+#endif
+}
+
+/* Full SHA-256 of a message (with padding), digest big-endian bytes. */
+static void sha256_full(const uint8_t *msg, uint64_t len, uint8_t out[32]) {
+  uint32_t st[8] = {0x6a09e667, 0xbb67ae85, 0x3c6ef372, 0xa54ff53a,
+                    0x510e527f, 0x9b05688c, 0x1f83d9ab, 0x5be0cd19};
+  uint64_t i = 0;
+  for (; i + 64 <= len; i += 64) compress(st, msg + i);
+  uint8_t block[128];
+  uint64_t rem = len - i;
+  memcpy(block, msg + i, rem);
+  block[rem] = 0x80;
+  uint64_t pad = (rem + 1 + 8 <= 64) ? 64 : 128;
+  memset(block + rem + 1, 0, pad - rem - 1 - 8);
+  uint64_t bits = len * 8;
+  for (int k = 0; k < 8; k++) block[pad - 1 - k] = (uint8_t)(bits >> (8 * k));
+  compress(st, block);
+  if (pad == 128) compress(st, block + 64);
+  for (int k = 0; k < 8; k++) {
+    out[4 * k] = (uint8_t)(st[k] >> 24);
+    out[4 * k + 1] = (uint8_t)(st[k] >> 16);
+    out[4 * k + 2] = (uint8_t)(st[k] >> 8);
+    out[4 * k + 3] = (uint8_t)st[k];
+  }
+}
+
+/* Batched SHA-256 over N fixed-length messages; trim_fr masks the last
+ * byte &0x3F (Fr domain, reference create_label.hpp:77). */
+void sha256_many(const uint8_t *msgs, uint64_t n, uint64_t msg_len,
+                 uint8_t *out, int trim_fr) {
+  for (uint64_t i = 0; i < n; i++) {
+    sha256_full(msgs + i * msg_len, msg_len, out + i * 32);
+    if (trim_fr) out[i * 32 + 31] &= 0x3F;
+  }
+}
+
+/* One SDR layer. base_tbl: nodes x base_deg (uint32); exp_tbl: nodes x
+ * exp_deg or NULL (layer 1); prev: previous layer labels or NULL. */
+void label_layer(const uint8_t replica_id[32], uint32_t layer, uint64_t nodes,
+                 const uint32_t *base_tbl, uint32_t base_deg,
+                 const uint32_t *exp_tbl, uint32_t exp_deg,
+                 const uint8_t *prev, uint8_t *out) {
+  uint8_t msg[32 + 32 + 37 * 32];
+  memcpy(msg, replica_id, 32);
+  memset(msg + 32, 0, 32);
+  msg[32] = (uint8_t)(layer >> 24);
+  msg[33] = (uint8_t)(layer >> 16);
+  msg[34] = (uint8_t)(layer >> 8);
+  msg[35] = (uint8_t)layer;
+
+  for (uint64_t node = 0; node < nodes; node++) {
+    for (int k = 0; k < 8; k++)
+      msg[36 + k] = (uint8_t)(node >> (8 * (7 - k)));
+    uint64_t msg_len;
+    if (node == 0) {
+      msg_len = 64; /* no parents for node 0 */
+    } else {
+      uint32_t total = base_deg + ((exp_tbl && prev) ? exp_deg : 0);
+      /* gather parent labels into slots 0..total-1, then cycle to 37 */
+      uint8_t parents[14 * 32];
+      const uint32_t *bp = base_tbl + node * base_deg;
+      for (uint32_t j = 0; j < base_deg; j++)
+        memcpy(parents + j * 32, out + (uint64_t)bp[j] * 32, 32);
+      if (exp_tbl && prev) {
+        const uint32_t *ep = exp_tbl + node * exp_deg;
+        for (uint32_t j = 0; j < exp_deg; j++)
+          memcpy(parents + (base_deg + j) * 32,
+                 prev + (uint64_t)ep[j] * 32, 32);
+      }
+      for (uint32_t i = 0; i < 37; i++)
+        memcpy(msg + 64 + i * 32, parents + (i % total) * 32, 32);
+      msg_len = 64 + 37 * 32;
+    }
+    uint8_t *dst = out + node * 32;
+    sha256_full(msg, msg_len, dst);
+    dst[31] &= 0x3F;
+  }
+}

@@ -1,0 +1,128 @@
+"""ctypes bindings + on-demand build for the native C engine.
+
+Builds native/label.c into a shared object on first use (cached next to
+the source; rebuilt when the source is newer). Falls back silently so
+the pure-python paths keep working where no toolchain exists.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
+_SRC = os.path.join(_NATIVE_DIR, "label.c")
+_SO = os.path.join(_NATIVE_DIR, "_label.so")
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    flags = ["-O3", "-shared", "-fPIC", "-march=native"]
+    try:
+        subprocess.run(
+            ["cc", *flags, _SRC, "-o", _SO], check=True, capture_output=True
+        )
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def get_lib():
+    """The loaded native library, or None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("FIL_PROOFS_DISABLE_NATIVE") == "1":
+        return None
+    try:
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        lib = ctypes.CDLL(_SO)
+        lib.label_layer.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_uint32,
+            ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_uint32,
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+        ]
+        lib.sha256_many.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_uint64,
+            ctypes.c_uint64,
+            ctypes.c_char_p,
+            ctypes.c_int,
+        ]
+        lib.label_engine_init.argtypes = [ctypes.c_int]
+        lib.label_engine_init(1)  # SHA-NI when compiled in
+        _lib = lib
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def label_layer_native(
+    out: np.ndarray,
+    prev: np.ndarray | None,
+    replica_id: bytes,
+    layer: int,
+    base_tbl: np.ndarray,
+    exp_tbl: np.ndarray | None,
+) -> bool:
+    """Label one layer in-place; returns False if native is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    nodes = out.shape[0]
+    base = np.ascontiguousarray(base_tbl, dtype=np.uint32)
+    bp = base.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+    if exp_tbl is not None and prev is not None:
+        exp = np.ascontiguousarray(exp_tbl, dtype=np.uint32)
+        ep = exp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+        exp_deg = exp.shape[1]
+        prev_ptr = prev.ctypes.data_as(ctypes.c_char_p)
+    else:
+        ep = None
+        exp_deg = 0
+        prev_ptr = None
+    lib.label_layer(
+        replica_id,
+        layer,
+        nodes,
+        bp,
+        base.shape[1],
+        ep,
+        exp_deg,
+        prev_ptr,
+        out.ctypes.data_as(ctypes.c_char_p),
+    )
+    return True
+
+
+def sha256_many_native(
+    msgs: np.ndarray, trim_fr: bool = True
+) -> np.ndarray | None:
+    """Batched SHA-256 of (N, L) uint8 messages; None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    msgs = np.ascontiguousarray(msgs, dtype=np.uint8)
+    n, msg_len = msgs.shape
+    out = np.empty((n, 32), dtype=np.uint8)
+    lib.sha256_many(
+        msgs.ctypes.data_as(ctypes.c_char_p),
+        n,
+        msg_len,
+        out.ctypes.data_as(ctypes.c_char_p),
+        1 if trim_fr else 0,
+    )
+    return out

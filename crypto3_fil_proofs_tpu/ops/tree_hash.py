@@ -62,7 +62,15 @@ class Sha256Backend:
 
     def hash_level(self, nodes: np.ndarray, arity: int) -> np.ndarray:
         assert nodes.shape[0] % arity == 0
-        raw = np.ascontiguousarray(nodes, dtype=np.uint8).tobytes()
+        from .native import sha256_many_native
+
+        msgs = np.ascontiguousarray(nodes, dtype=np.uint8).reshape(
+            nodes.shape[0] // arity, arity * NODE_SIZE
+        )
+        native = sha256_many_native(msgs, trim_fr=True)
+        if native is not None:
+            return native
+        raw = msgs.tobytes()
         chunk = arity * NODE_SIZE
         out = np.empty((nodes.shape[0] // arity, NODE_SIZE), dtype=np.uint8)
         for i in range(out.shape[0]):

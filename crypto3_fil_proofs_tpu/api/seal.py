@@ -99,8 +99,11 @@ def seal_pre_commit_phase1(
     leaves = np.frombuffer(padded, dtype=np.uint8).reshape(nodes, NODE_SIZE).copy()
 
     # tree_d (binary SHA-256) persisted in the cache dir
+    from ..core.measure import measure_op
+
     tree_d_config = StoreConfig(cache_path, cache_key.COMM_D_TREE)
-    tree_d = MerkleTree.build(leaves, 2, "sha256", tree_d_config)
+    with measure_op("comm_d"):
+        tree_d = MerkleTree.build(leaves, 2, "sha256", tree_d_config)
     comm_d = tree_d.root()
 
     assert piece_api.verify_pieces(
@@ -114,7 +117,8 @@ def seal_pre_commit_phase1(
     )
 
     # SDR labeling, persisted per layer (reference proof.hpp:339-354)
-    labels = StackedDrg.generate_labels(pp.graph, pp.layers, replica_id)
+    with measure_op("generate_labels"):
+        labels = StackedDrg.generate_labels(pp.graph, pp.layers, replica_id)
     for layer in range(1, pp.layers + 1):
         labels.layer(layer).tofile(_layer_path(cache_path, layer))
 

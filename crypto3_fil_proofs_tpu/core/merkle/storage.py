@@ -167,6 +167,43 @@ class VecStore(Store):
         self._data[start : start + values.shape[0]] = values
 
 
+class MmapStore(Store):
+    """mmap-backed store (reference: storage/mmap.hpp:45-133) — a
+    numpy memmap over the same sc-02-data-<id>.dat layout DiskStore
+    uses, for zero-copy reads of large trees."""
+
+    def __init__(self, config: "StoreConfig", size: int | None = None, create: bool = False):
+        self.config = config
+        path = config.data_path()
+        n = size if size is not None else config.size
+        if create:
+            mode = "w+"
+        else:
+            import os as _os
+
+            n = n or _os.path.getsize(path) // NODE_SIZE
+            mode = "r+"
+        self._data = np.memmap(path, dtype=np.uint8, mode=mode, shape=(n, NODE_SIZE))
+
+    def __len__(self) -> int:
+        return self._data.shape[0]
+
+    def read_at(self, index: int) -> bytes:
+        return self._data[index].tobytes()
+
+    def read_range(self, start: int, end: int) -> np.ndarray:
+        return np.asarray(self._data[start:end])
+
+    def write_at(self, index: int, value: bytes) -> None:
+        self._data[index] = np.frombuffer(value, dtype=np.uint8)
+
+    def write_range(self, start: int, values: np.ndarray) -> None:
+        self._data[start : start + values.shape[0]] = values
+
+    def sync(self) -> None:
+        self._data.flush()
+
+
 class DiskStore(Store):
     """File-backed store, memory-mapped (reference: storage/disk.hpp)."""
 

@@ -83,12 +83,32 @@ class Settings:
     )
 
 
+def _load_config_ini() -> None:
+    """Seed missing FIL_PROOFS_* env vars from ./config.ini
+    (reference: core/configuration.hpp reads config.ini)."""
+    import configparser
+
+    path = os.environ.get("FIL_PROOFS_CONFIG", "config.ini")
+    if not os.path.exists(path):
+        return
+    cp = configparser.ConfigParser()
+    try:
+        cp.read(path)
+    except configparser.Error:
+        return
+    for section in cp.sections():
+        for key, value in cp.items(section):
+            env = f"FIL_PROOFS_{key.upper()}"
+            os.environ.setdefault(env, value)
+
+
 _SETTINGS: Settings | None = None
 
 
 def settings() -> Settings:
     global _SETTINGS
     if _SETTINGS is None:
+        _load_config_ini()
         _SETTINGS = Settings()
     return _SETTINGS
 

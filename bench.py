@@ -1,19 +1,23 @@
 """Benchmark driver entry: prints ONE JSON line with the headline metric.
 
-Headline progression (best-available wins):
-1. Pippenger G1 MSM points/sec (BASELINE.json north-star metric) once
-   ops/msm.py exists.
-2. Otherwise: batched Poseidon arity-8 tree-hash throughput (the
-   tree_c/tree_r_last builder kernel), vs the host reference backend —
-   the reference's own hot path for replication commitments
-   (reference: stacked/vanilla/proof.hpp:385-646 GPU/CPU builders).
+Headline: Pippenger G1 MSM points/sec (BASELINE.json north-star). The
+MSM attempt runs in a budgeted subprocess (first-time XLA compiles of
+the limb kernels can take many minutes); if it does not complete in
+time the batched Poseidon tree-hash metric (the tree_c/tree_r_last
+builder, reference stacked/vanilla/proof.hpp:385-646) is reported
+instead, so the driver always receives a metric line.
 """
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+MSM_BUDGET_S = int(os.environ.get("FIL_PROOFS_BENCH_MSM_BUDGET", "2400"))
 
 
 def _bench_poseidon():
@@ -40,7 +44,10 @@ def _bench_poseidon():
 
     # host reference rate from a small sample
     sample = 8
-    ints = [[int(v) for v in row] for row in rng.integers(0, 1 << 30, size=(sample, 8))]
+    ints = [
+        [int(v) for v in row]
+        for row in rng.integers(0, 1 << 30, size=(sample, 8))
+    ]
     t0 = time.perf_counter()
     for row in ints:
         poseidon_hash(row, 8)
@@ -59,19 +66,20 @@ def _bench_msm():
 
     from crypto3_fil_proofs_tpu.ops import msm as msm_mod
 
-    n = 1 << 16
+    n = 1 << 18
+    n_buckets = 256  # c=8: bucket aggregation amortizes at this size
     points, scalars = msm_mod.random_bench_input(n, seed=0)
-    fn = jax.jit(msm_mod.msm_device)
-    fn(points, scalars)  # compile + run
+    fn = msm_mod.msm_device  # stages are individually jitted
+    jax.block_until_ready(fn(points, scalars, n_buckets=n_buckets))
     t0 = time.perf_counter()
     iters = 3
     for _ in range(iters):
-        out = fn(points, scalars)
+        out = fn(points, scalars, n_buckets=n_buckets)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
     rate = n / dt
     # baseline: single-core host python-int MSM, measured on a subsample
-    host_rate = msm_mod.host_reference_rate(points, scalars, sample=256)
+    host_rate = msm_mod.host_reference_rate(points, scalars, sample=64)
     return {
         "metric": "msm_g1_points_per_sec",
         "value": round(rate, 1),
@@ -81,13 +89,24 @@ def _bench_msm():
 
 
 def main():
+    if "--msm-inner" in sys.argv:
+        print(json.dumps(_bench_msm()))
+        return
     try:
-        from crypto3_fil_proofs_tpu.ops import msm  # noqa: F401
-
-        result = _bench_msm()
-    except ImportError:
-        result = _bench_poseidon()
-    print(json.dumps(result))
+        out = subprocess.run(
+            [sys.executable, "-u", os.path.abspath(__file__), "--msm-inner"],
+            capture_output=True,
+            text=True,
+            timeout=MSM_BUDGET_S,
+        )
+        for line in out.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                print(line)
+                return
+    except (subprocess.TimeoutExpired, OSError):
+        pass
+    print(json.dumps(_bench_poseidon()))
 
 
 if __name__ == "__main__":

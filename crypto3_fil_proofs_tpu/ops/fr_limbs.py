@@ -265,6 +265,100 @@ fr_ops = FieldOps(FR)
 fq_ops = FieldOps(FQ)
 
 
+# ---------------------------------------------------------------------------
+# Struct-of-arrays (SoA) kernels: a field element batch is a TUPLE of
+# n_limbs flat [batch] uint32 arrays. Limb shifts become python list
+# reindexing (free at trace time) and every op runs on a contiguous
+# full-width vector — no concat/pad materialization, which measures
+# ~8x faster than the packed [batch, n] form on TPU (the packed ops
+# were HBM-copy-bound, not multiply-bound).
+# ---------------------------------------------------------------------------
+
+
+def soa_unpack(packed: jnp.ndarray) -> tuple:
+    """[..., n] packed limbs -> tuple of n [...] arrays."""
+    return tuple(packed[..., j] for j in range(packed.shape[-1]))
+
+
+def soa_pack(limbs: tuple) -> jnp.ndarray:
+    return jnp.stack(limbs, axis=-1)
+
+
+def _soa_norm(t: tuple, n_out: int, field: Field) -> tuple:
+    limbs = []
+    carry = None
+    for j in range(len(t)):
+        v = t[j] if carry is None else t[j] + carry
+        limbs.append(v & LIMB_MASK)
+        carry = v >> LIMB_BITS
+    for _ in range(len(t), n_out):
+        limbs.append(carry & LIMB_MASK)
+        carry = carry >> LIMB_BITS
+    return tuple(limbs[:n_out])
+
+
+def _soa_sub_if_ge(t: tuple, field: Field) -> tuple:
+    p = field.p_np
+    diff = []
+    borrow = None
+    for j in range(field.n):
+        pj = jnp.uint32(int(p[j]))
+        sub = pj if borrow is None else pj + borrow
+        d = t[j] - sub
+        borrow = (t[j] < sub).astype(jnp.uint32)
+        diff.append(d & LIMB_MASK)
+    ge = borrow == 0
+    return tuple(jnp.where(ge, d, orig) for d, orig in zip(diff, t))
+
+
+def soa_mont_mul(a: tuple, b: tuple, field: Field) -> tuple:
+    """Montgomery product over SoA limb tuples (canonical in/out)."""
+    n = field.n
+    n0inv = jnp.uint32(field.n0inv)
+    p = [jnp.uint32(int(v)) for v in field.p_np]
+    zero = jnp.zeros_like(a[0])
+    t = [zero] * (n + 1)
+    for i in range(n):
+        bi = b[i]
+        prod = [aj * bi for aj in a]  # exact u32 (16x16-bit)
+        t0 = t[0] + (prod[0] & LIMB_MASK)
+        m = (t0 * n0inv) & LIMB_MASK
+        q = [m * pj for pj in p]
+        # accumulate lo in place, hi shifted one limb up
+        nt = [None] * (n + 1)
+        nt[0] = t0 + (q[0] & LIMB_MASK)
+        for j in range(1, n):
+            nt[j] = (
+                t[j]
+                + (prod[j] & LIMB_MASK)
+                + (q[j] & LIMB_MASK)
+                + (prod[j - 1] >> LIMB_BITS)
+                + (q[j - 1] >> LIMB_BITS)
+            )
+        nt[n] = t[n] + (prod[n - 1] >> LIMB_BITS) + (q[n - 1] >> LIMB_BITS)
+        carry = nt[0] >> LIMB_BITS
+        # divide by 2^16: drop limb 0 (= 0 mod 2^16), shift down
+        t = [nt[1] + carry] + nt[2:] + [zero]
+    out = _soa_norm(tuple(t), n, field)
+    return _soa_sub_if_ge(out, field)
+
+
+def soa_add(a: tuple, b: tuple, field: Field) -> tuple:
+    s = tuple(x + y for x, y in zip(a, b))
+    return _soa_sub_if_ge(_soa_norm(s, field.n, field), field)
+
+
+def soa_mont_mul_const(a: tuple, const_limbs, field: Field) -> tuple:
+    """Montgomery product with a per-limb-constant operand (MDS, RC)."""
+    b = tuple(jnp.uint32(int(v)) for v in const_limbs)
+    return soa_mont_mul(a, b, field)
+
+
+def soa_add_const(a: tuple, const_limbs, field: Field) -> tuple:
+    s = tuple(x + jnp.uint32(int(c)) for x, c in zip(a, const_limbs))
+    return _soa_sub_if_ge(_soa_norm(s, field.n, field), field)
+
+
 @partial(jax.jit, static_argnames=("which",))
 def mont_mul(a, b, which: str = "fr"):
     return (fr_ops if which == "fr" else fq_ops).mont_mul(a, b)

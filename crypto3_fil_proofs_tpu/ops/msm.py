@@ -145,6 +145,22 @@ def _reslice_digits(scalars, n_buckets):
 
 
 @functools.partial(jax.jit, static_argnames=("n_buckets", "curve_name"))
+def _accumulate_stage(points, scalars, n_buckets, curve_name):
+    curve = _curve(curve_name)
+    digits = _reslice_digits(scalars, n_buckets).astype(jnp.uint32)
+    return _bucket_accumulate(points, digits, n_buckets, curve)
+
+
+@functools.partial(jax.jit, static_argnames=("curve_name",))
+def _aggregate_stage(acc, curve_name):
+    return _aggregate_buckets(acc, _curve(curve_name))
+
+
+@functools.partial(jax.jit, static_argnames=("c", "curve_name"))
+def _combine_stage(totals, c, curve_name):
+    return _combine_windows(totals, c, _curve(curve_name))
+
+
 def msm_device(points, scalars, n_buckets: int = 1 << C_BITS,
                curve_name: str = "g1"):
     """MSM over affine Montgomery points and 16-bit-limb scalars.
@@ -152,12 +168,16 @@ def msm_device(points, scalars, n_buckets: int = 1 << C_BITS,
     points: affine pytree (G1: (px[N,24], py[N,24]); G2 nested pairs).
     scalars: [N, 16] uint32 standard-form limbs.
     Returns one Jacobian point pytree (Montgomery form).
+
+    Three separately-jitted stages: only the O(N) accumulation program
+    depends on the point count, so the (heavier) aggregation/combine
+    programs compile once per (W, B) and are shared across all MSM
+    sizes — compile time was the practical bottleneck of the
+    monolithic version.
     """
-    curve = _curve(curve_name)
-    digits = _reslice_digits(scalars, n_buckets).astype(jnp.uint32)
-    acc = _bucket_accumulate(points, digits, n_buckets, curve)
-    totals = _aggregate_buckets(acc, curve)
-    return _combine_windows(totals, int(n_buckets).bit_length() - 1, curve)
+    acc = _accumulate_stage(points, scalars, n_buckets, curve_name)
+    totals = _aggregate_stage(acc, curve_name)
+    return _combine_stage(totals, int(n_buckets).bit_length() - 1, curve_name)
 
 
 # ---------------------------------------------------------------------------

@@ -97,30 +97,40 @@ def _transform(a: jnp.ndarray, plan: NttPlan, twiddles: jnp.ndarray):
     return a
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("log_n",))
 def ntt(a: jnp.ndarray, log_n: int) -> jnp.ndarray:
     """Forward NTT of [..., n, 16] Montgomery-form coefficients."""
     plan = NttPlan(log_n)
     return _transform(a, plan, plan.tw_fwd)
 
 
+@partial(jax.jit, static_argnames=("log_n",))
 def intt(a: jnp.ndarray, log_n: int) -> jnp.ndarray:
     """Inverse NTT (includes the 1/n scale)."""
     plan = NttPlan(log_n)
     out = _transform(a, plan, plan.tw_inv)
-    return fr_ops.mont_mul(out, plan.n_inv_mont)
+    return fr_ops.mont_mul(out, jnp.asarray(plan.n_inv_mont))
 
 
+@partial(jax.jit, static_argnames=("log_n",))
 def coset_ntt(a: jnp.ndarray, log_n: int) -> jnp.ndarray:
     """Evaluate on the coset gH: scale coefficients by g^i, then NTT."""
     plan = NttPlan(log_n)
-    return ntt(fr_ops.mont_mul(a, plan.coset_fwd), log_n)
+    return _transform(
+        fr_ops.mont_mul(a, jnp.asarray(plan.coset_fwd)), plan, plan.tw_fwd
+    )
 
 
+@partial(jax.jit, static_argnames=("log_n",))
 def coset_intt(a: jnp.ndarray, log_n: int) -> jnp.ndarray:
     """Inverse of coset_ntt: iNTT then scale by g^-i."""
     plan = NttPlan(log_n)
-    out = intt(a, log_n)
-    return fr_ops.mont_mul(out, plan.coset_inv)
+    out = _transform(a, plan, plan.tw_inv)
+    out = fr_ops.mont_mul(out, jnp.asarray(plan.n_inv_mont))
+    return fr_ops.mont_mul(out, jnp.asarray(plan.coset_inv))
 
 
 # ---------------------------------------------------------------------------

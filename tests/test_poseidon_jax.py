@@ -34,6 +34,22 @@ def test_jax_backend_matches_host_backend(rng_seed):
     assert np.array_equal(host, tpu)
 
 
+@pytest.mark.skipif(
+    __import__("os").environ.get("FIL_PROOFS_TEST_MXU") != "1",
+    reason="XLA-CPU compiles the MXU permute very slowly (~30 min); "
+    "run explicitly with FIL_PROOFS_TEST_MXU=1",
+)
+def test_mxu_permute_matches_host(rng_seed):
+    """The TPU (MXU byte-plane mix) permutation path, forced on CPU,
+    must be bit-exact with the host reference."""
+    rng = random.Random(rng_seed + 99)
+    arity = 2
+    pre = [[rng.randrange(R) for _ in range(arity)] for _ in range(3)]
+    mont = fr_ops.encode([v for row in pre for v in row]).reshape(3, arity, -1)
+    got = fr_ops.decode(pj._poseidon_hash_mont(mont, arity, True))
+    assert got == [poseidon_hash(row, arity) for row in pre]
+
+
 def test_hash_single(rng_seed):
     rng = np.random.default_rng(rng_seed + 7)
     children = [bytes(rng.integers(0, 64, size=32, dtype=np.uint8)) for _ in range(2)]

@@ -55,11 +55,13 @@ def public_params(config: PoRepConfig):
 
 
 def winning_post_setup_params(config: PoStConfig) -> fallback.SetupParams:
+    """The config carries the registered counts (types/post_config.hpp);
+    PoStConfig.winning() fills WINNING_POST_* for production use."""
     assert config.typ == PoStType.WINNING
     return fallback.SetupParams(
         sector_size=config.sector_size,
-        challenge_count=WINNING_POST_CHALLENGE_COUNT,
-        sector_count=WINNING_POST_SECTOR_COUNT,
+        challenge_count=config.challenge_count,
+        sector_count=config.sector_count,
     )
 
 
@@ -67,8 +69,8 @@ def window_post_setup_params(config: PoStConfig) -> fallback.SetupParams:
     assert config.typ == PoStType.WINDOW
     return fallback.SetupParams(
         sector_size=config.sector_size,
-        challenge_count=WINDOW_POST_CHALLENGE_COUNT,
-        sector_count=WINDOW_POST_SECTOR_COUNT[config.sector_size],
+        challenge_count=config.challenge_count,
+        sector_count=config.sector_count,
     )
 
 

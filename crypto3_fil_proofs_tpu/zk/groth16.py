@@ -499,7 +499,7 @@ def _msm_g1_staged(query, scalars: list[int], n_buckets):
     px, py, valid = query
     assert px.shape[0] == len(scalars)
     s = [sc if ok else 0 for sc, ok in zip(scalars, np.asarray(valid))]
-    if len(s) <= 1024:  # device program not worth compiling (see above)
+    if len(s) <= HOST_FALLBACK_N:  # device compile not worth it (see above)
         xs = fq_ops.decode(np.asarray(px))
         ys = fq_ops.decode(np.asarray(py))
         acc = G1_INF

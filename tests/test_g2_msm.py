@@ -1,6 +1,8 @@
 """Batched G2 ops + curve-generic Pippenger on G2 vs host arithmetic."""
 import random
 
+import pytest
+
 from crypto3_fil_proofs_tpu.ops import g2_jax as g2
 from crypto3_fil_proofs_tpu.ops import msm as msm_mod
 from crypto3_fil_proofs_tpu.ops.bls12_381 import (
@@ -46,6 +48,7 @@ def test_g2_double_add_match_host(rng_seed):
         assert g2_eq(g, g2_add(p, p))  # same point -> doubling path
 
 
+@pytest.mark.device_heavy
 def test_g2_msm_matches_naive(rng_seed):
     rng = random.Random(rng_seed + 1)
     pts = _rand_points(8, rng_seed + 2)

@@ -131,6 +131,9 @@ def _mxu_mix_and_reduce(elems, mds8):
             padding=[(nb - 1, nb - 1)],
             dimension_numbers=("NCW", "OIW", "NCW"),
             preferred_element_type=jnp.float32,
+            # TPU f32 contractions default to bf16 passes — exact
+            # integer products require full f32 semantics
+            precision=jax.lax.Precision.HIGHEST,
         )  # [L, i, 2nb-1]
         cols = jnp.transpose(cols, (2, 1, 0)).astype(jnp.int32)
     else:
@@ -140,6 +143,8 @@ def _mxu_mix_and_reduce(elems, mds8):
             jnp.asarray(mds8),
             s8,
             preferred_element_type=jnp.float32,
+            # exact integer products need full f32 (TPU default is bf16)
+            precision=jax.lax.Precision.HIGHEST,
         ).astype(jnp.int32)
         padded = [
             jnp.pad(prod[a], ((a, nb - 1 - a), (0, 0), (0, 0)))

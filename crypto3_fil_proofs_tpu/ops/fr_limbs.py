@@ -311,6 +311,23 @@ def _soa_sub_if_ge(t: tuple, field: Field) -> tuple:
     return tuple(jnp.where(ge, d, orig) for d, orig in zip(diff, t))
 
 
+def _soa_sub_if_ge_wide(t: tuple, value: int) -> tuple:
+    """t - value if t >= value, over an arbitrary-width canonical limb
+    tuple (e.g. the 17-limb REDC output of the Poseidon MXU mix)."""
+    width = len(t)
+    vl = [(value >> (LIMB_BITS * j)) & LIMB_MASK for j in range(width)]
+    diff = []
+    borrow = None
+    for j in range(width):
+        vj = jnp.uint32(vl[j])
+        sub = vj if borrow is None else vj + borrow
+        d = t[j] - sub
+        borrow = (t[j] < sub).astype(jnp.uint32)
+        diff.append(d & LIMB_MASK)
+    ge = borrow == 0
+    return tuple(jnp.where(ge, d, orig) for d, orig in zip(diff, t))
+
+
 def soa_mont_mul(a: tuple, b: tuple, field: Field) -> tuple:
     """Montgomery product over SoA limb tuples (canonical in/out)."""
     n = field.n

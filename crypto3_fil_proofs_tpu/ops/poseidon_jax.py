@@ -152,7 +152,9 @@ def _mxu_mix_and_reduce(elems, mds8):
         ]
         cols = sum(padded)  # antidiagonal fold: column c = sum_{a+b=c}
     cols = cols.astype(jnp.uint32)
-    # normalize bytes (values < 2^25 -> carries), producing 2nb bytes
+    # normalize bytes (values < 2^25 -> carries). The total mix value is
+    # up to t*R^2 (~9R^2 < 2^516 for t=12), so the product spans up to
+    # 65 bytes — emit 66 (33 16-bit columns) and keep every carry.
     bytes_n = []
     carry = jnp.zeros_like(cols[0])
     for c in range(2 * nb - 1):
@@ -160,11 +162,16 @@ def _mxu_mix_and_reduce(elems, mds8):
         bytes_n.append(v & jnp.uint32(0xFF))
         carry = v >> 8
     bytes_n.append(carry & jnp.uint32(0xFF))
-    # fold to 16-bit columns [2n]
+    bytes_n.append(carry >> 8)
+    bytes_n.append(jnp.zeros_like(carry))
+    n_cols = len(bytes_n) // 2  # nb + 1
     col16 = [
-        bytes_n[2 * k] + (bytes_n[2 * k + 1] << 8) for k in range(nb)
+        bytes_n[2 * k] + (bytes_n[2 * k + 1] << 8) for k in range(n_cols)
     ]
-    # interleaved REDC: 16 rounds eliminate the low half
+    # interleaved REDC: 16 rounds eliminate the low half; result is
+    # T/2^256 < t*R^2/2^256 + R < 6R — exact but up to 3 bits beyond
+    # the 16-limb field, so carry a 17th limb through to the final
+    # conditional subtracts of 4R/2R/R.
     n0inv = jnp.uint32(_FR.n0inv)
     p = [jnp.uint32(int(v)) for v in _FR.p_np]
     zero = jnp.zeros_like(col16[0])
@@ -181,10 +188,12 @@ def _mxu_mix_and_reduce(elems, mds8):
         nt.extend(st[_N + 1 :])
         carry = nt[0] >> 16
         st = [nt[1] + carry] + nt[2:] + [zero]
-    from .fr_limbs import _soa_norm, _soa_sub_if_ge
+    from .fr_limbs import _soa_norm, _soa_sub_if_ge_wide
 
-    out = _soa_norm(tuple(st[: _N + 1]), _N, _FR)
-    return _soa_sub_if_ge(out, _FR)
+    out = _soa_norm(tuple(st[: _N + 2]), _N + 1, _FR)  # 17 limbs
+    for mult in (4, 2, 1):
+        out = _soa_sub_if_ge_wide(out, _FR.modulus * mult)
+    return out[: _N]
 
 
 def _permute_mxu(states: jnp.ndarray, rc, mds, full_mask) -> jnp.ndarray:

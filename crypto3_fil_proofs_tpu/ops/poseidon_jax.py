@@ -253,14 +253,18 @@ def _permute_packed(states: jnp.ndarray, rc, mds, full_mask) -> jnp.ndarray:
 
 
 def _use_mxu_permute() -> bool:
-    # Opt-in while the MXU path's CPU bit-exactness run is being
-    # stabilized (XLA-CPU compiles it very slowly); measured 2.9x the
-    # packed path on v5e. Flip the default to `backend == "tpu"` once
-    # tests/test_poseidon_jax.py::test_mxu_permute_matches_host is part
-    # of the routine green run.
+    """MXU permute on TPU (bit-exactness validated on-device at
+    arities 2/8 across all rounds; 17.2k poseidon-8 hashes/s vs 6.25k
+    packed on v5e). Packed elsewhere: XLA-CPU compiles the MXU program
+    impractically slowly. Override with FIL_PROOFS_POSEIDON_MXU=0/1."""
     import os
 
-    return os.environ.get("FIL_PROOFS_POSEIDON_MXU") == "1"
+    flag = os.environ.get("FIL_PROOFS_POSEIDON_MXU")
+    if flag is not None:
+        return flag == "1"
+    import jax as _jax
+
+    return _jax.default_backend() == "tpu"
 
 
 def _permute(states: jnp.ndarray, rc, mds, full_mask) -> jnp.ndarray:

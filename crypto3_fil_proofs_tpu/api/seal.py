@@ -116,11 +116,14 @@ def seal_pre_commit_phase1(
         prover_id, sector_id, ticket, comm_d, config.porep_id
     )
 
-    # SDR labeling, persisted per layer (reference proof.hpp:339-354)
+    # SDR labeling: 2-layer ping-pong working set, each layer persisted
+    # to its DiskStore file as it finishes (reference proof.hpp:311-313,
+    # 339-354) — peak RAM ~2 sectors regardless of layer count
+    layer_paths = [_layer_path(cache_path, l) for l in range(1, pp.layers + 1)]
     with measure_op("generate_labels"):
-        labels = StackedDrg.generate_labels(pp.graph, pp.layers, replica_id)
-    for layer in range(1, pp.layers + 1):
-        labels.layer(layer).tofile(_layer_path(cache_path, layer))
+        StackedDrg.generate_labels_streamed(
+            pp.graph, pp.layers, replica_id, layer_paths
+        )
 
     return SealPreCommitPhase1Output(
         labels_config={
@@ -134,7 +137,7 @@ def seal_pre_commit_phase1(
 
 def _load_labels(labels_config: dict, nodes: int) -> Labels:
     arrays = [
-        np.fromfile(p, dtype=np.uint8).reshape(nodes, NODE_SIZE)
+        np.memmap(p, dtype=np.uint8, mode="r", shape=(nodes, NODE_SIZE))
         for p in labels_config["paths"]
     ]
     return Labels(arrays)

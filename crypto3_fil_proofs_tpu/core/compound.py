@@ -77,7 +77,7 @@ class CompoundProof:
         pk: groth16.ProvingKey,
         randomness: bytes = b"fil-tpu-prove",
     ) -> MultiProof:
-        proofs = []
+        cs_list = []
         for k, partition_proofs in enumerate(vanilla_partition_proofs):
             cs = self.adapter.circuit_from_vanilla(
                 pub_params, pub_inputs, partition_proofs, k
@@ -87,10 +87,10 @@ class CompoundProof:
             expected = self.adapter.generate_public_inputs(pub_params, pub_inputs, k)
             got = [v for v, i in zip(cs.values, cs.is_input) if i][1:]
             assert got == expected, f"partition {k} public-input mismatch"
-            proofs.append(
-                groth16.prove(pk, cs, randomness=randomness + bytes([k]))
-            )
-        return MultiProof(proofs)
+            cs_list.append(cs)
+        # partition-parallel Groth16 (SURVEY P4): one device per
+        # partition group; byte-identical to the serial loop
+        return MultiProof(groth16.prove_many(pk, cs_list, randomness=randomness))
 
     def verify(
         self,

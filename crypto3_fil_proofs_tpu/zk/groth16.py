@@ -182,21 +182,35 @@ def batch_fixed_base_g1(scalars: list[int]) -> list:
     if n_real <= HOST_FALLBACK_N:
         g = g1_from_affine(G1_GEN)
         return [g1_mul(g, s % R) for s in scalars]
-    n = max(16, 1 << (n_real - 1).bit_length())
     table = _window_table(g1_from_affine(G1_GEN), g1_add, G1_INF)
     tx, ty, _ = g1_jax.points_to_device(table)
     tx = tx.reshape(64, 16, -1)
     ty = ty.reshape(64, 16, -1)
-    limbs = jnp.asarray(
-        np.concatenate(
-            [
-                FR.to_limbs([s % R for s in scalars]),
-                np.zeros((n - n_real, 16), dtype=np.uint32),
-            ]
-        )
-    )
-    X, Y, Z = _fixed_base_g1_run(limbs, tx, ty)
-    return _g1_batch_to_host_affine(X, Y, Z)[:n_real]
+    all_limbs = FR.to_limbs([s % R for s in scalars])
+    out = []
+    # chunked so the while-body's live temps ([chunk, 24] u32 each) fit
+    # HBM at any query length; every chunk reuses one compiled program
+    for limbs in _fixed_base_chunks(all_limbs):
+        X, Y, Z = _fixed_base_g1_run(jnp.asarray(limbs), tx, ty)
+        out.extend(_g1_batch_to_host_affine(X, Y, Z))
+    return out[:n_real]
+
+
+# 2^20 rows/launch: ~5 GB of fused while-body temps on a 16 GB chip
+# (measured: 2^22 rows wants ~22 GB and OOMs the v5e)
+FIXED_BASE_CHUNK = 1 << 20
+
+
+def _fixed_base_chunks(all_limbs: np.ndarray, chunk_size: int = FIXED_BASE_CHUNK):
+    n_real = all_limbs.shape[0]
+    chunk = min(chunk_size, max(16, 1 << (n_real - 1).bit_length()))
+    for lo in range(0, n_real, chunk):
+        part = all_limbs[lo : lo + chunk]
+        if part.shape[0] < chunk:
+            part = np.concatenate(
+                [part, np.zeros((chunk - part.shape[0], 16), dtype=np.uint32)]
+            )
+        yield part
 
 
 @jax.jit
@@ -220,22 +234,17 @@ def batch_fixed_base_g2(scalars: list[int]) -> list:
     if n_real <= HOST_FALLBACK_N:
         g = g2_from_affine((G2_GEN_X, G2_GEN_Y))
         return [g2_mul(g, s % R) for s in scalars]
-    n = max(16, 1 << (n_real - 1).bit_length())
     from ..ops.bls12_381 import G2_INF
 
     table = _window_table(g2_from_affine((G2_GEN_X, G2_GEN_Y)), g2_add, G2_INF)
     aff, _ = g2_jax.points_to_device(table)
     aff = jax.tree_util.tree_map(lambda t: t.reshape(64, 16, -1), aff)
-    limbs = jnp.asarray(
-        np.concatenate(
-            [
-                FR.to_limbs([s % R for s in scalars]),
-                np.zeros((n - n_real, 16), dtype=np.uint32),
-            ]
-        )
-    )
-    out = _fixed_base_g2_run(limbs, aff)
-    return g2_jax.points_from_device(out)[:n_real]
+    all_limbs = FR.to_limbs([s % R for s in scalars])
+    out = []
+    for limbs in _fixed_base_chunks(all_limbs, FIXED_BASE_CHUNK // 2):
+        res = _fixed_base_g2_run(jnp.asarray(limbs), aff)
+        out.extend(g2_jax.points_from_device(res))
+    return out[:n_real]
 
 
 @jax.jit
@@ -252,16 +261,28 @@ def _fixed_base_g2_run(limbs, aff):
 
 
 def _g1_batch_to_host_affine(X, Y, Z) -> list:
-    """Device Jacobian batch -> host Jacobian int points (affine Z=1)."""
+    """Device Jacobian batch -> host Jacobian int points (affine Z=1).
+
+    Z-inversions use Montgomery batch inversion (one fq_inv for the
+    whole batch instead of one per point — the per-point pow() loop was
+    minutes of host time per 4M-entry CRS query)."""
     xs = fq_ops.decode(X)
     ys = fq_ops.decode(Y)
     zs = fq_ops.decode(Z)
+    # batch-invert the nonzero Zs
+    prefix = [1] * (len(zs) + 1)
+    for i, z in enumerate(zs):
+        prefix[i + 1] = prefix[i] * (z if z else 1) % P_MOD
+    inv_all = fq_inv(prefix[-1])
+    invs = [0] * len(zs)
+    for i in range(len(zs) - 1, -1, -1):
+        invs[i] = prefix[i] * inv_all % P_MOD
+        inv_all = inv_all * (zs[i] if zs[i] else 1) % P_MOD
     out = []
-    for x, y, z in zip(xs, ys, zs):
+    for x, y, z, zi in zip(xs, ys, zs, invs):
         if z == 0:
             out.append(G1_INF)
         else:
-            zi = fq_inv(z)
             zi2 = zi * zi % P_MOD
             out.append((x * zi2 % P_MOD, y * zi2 * zi % P_MOD, 1))
     return out
@@ -594,6 +615,36 @@ def prove(
     g_c = g1_add(g_c, g1_mul(g_b_g1, r))
     g_c = g1_add(g_c, g1_neg(g1_mul(pk.delta_g1, r * s % R)))
     return Proof(g_a, g_b, g_c)
+
+
+def prove_many(
+    pk: ProvingKey,
+    cs_list: list[ConstraintSystem],
+    randomness: bytes = b"fil-tpu-prove",
+    devices: list | None = None,
+) -> list[Proof]:
+    """Partition-parallel Groth16 (SURVEY §2.9 P4): the k independent
+    partition SNARKs of a seal/window-PoSt (reference
+    compound_proof.hpp:85-137, POREP_PARTITIONS=10 constants.hpp:70-73)
+    prove concurrently, each partition's device work (h-NTTs + 5 MSMs)
+    dispatched to mesh device k mod D. On one chip the async dispatch
+    pipelines partitions; on a multi-chip mesh they run side by side.
+    Proof bytes are identical to the serial loop (randomness derivation
+    per partition is unchanged)."""
+    import jax as _jax
+
+    devs = devices or _jax.devices()
+
+    def run(k: int) -> Proof:
+        with _jax.default_device(devs[k % len(devs)]):
+            return prove(pk, cs_list[k], randomness=randomness + bytes([k]))
+
+    if len(cs_list) <= 1:
+        return [run(k) for k in range(len(cs_list))]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(len(cs_list), len(devs), 8)) as ex:
+        return list(ex.map(run, range(len(cs_list))))
 
 
 # ---------------------------------------------------------------------------

@@ -88,3 +88,20 @@ def test_groth16_poseidon_preimage():
     proof = groth16.prove(pk, cs)
     assert groth16.verify(pk.vk, proof, [poseidon_hash(pre, 2)])
     assert not groth16.verify(pk.vk, proof, [(poseidon_hash(pre, 2) + 1) % R])
+
+
+def test_prove_many_partition_parallel_matches_serial(cubic_keypair):
+    """prove_many (SURVEY P4 partition-parallel, one device per
+    partition on the 8-dev mesh) is byte-identical to the serial loop
+    (reference compound_proof.hpp:85-137 partition semantics)."""
+    pk, _ = cubic_keypair
+    cs_list = [_cubic_circuit(x) for x in (3, 4, 5)]
+    serial = [
+        groth16.prove(pk, cs, randomness=b"par-test" + bytes([k]))
+        for k, cs in enumerate(cs_list)
+    ]
+    parallel = groth16.prove_many(pk, cs_list, randomness=b"par-test")
+    assert [p.to_bytes() for p in parallel] == [p.to_bytes() for p in serial]
+    for k, (cs, proof) in enumerate(zip(cs_list, parallel)):
+        out_public = cs.values[cs.is_input.index(True, 1)]
+        assert groth16.verify(pk.vk, proof, [out_public])

@@ -109,3 +109,24 @@ def test_multiple_partitions(sealed):
     ch0 = pub.challenges(pp.layer_challenges, NODES, 0)
     ch1 = pub.challenges(pp.layer_challenges, NODES, 1)
     assert ch0 != ch1
+
+
+def test_streamed_labels_match_in_ram(tmp_path):
+    """generate_labels_streamed (2-layer ping-pong + per-layer persist)
+    is bit-identical to the in-RAM path (reference proof.hpp:311-354)."""
+    import numpy as np
+
+    from crypto3_fil_proofs_tpu.models.porep.stacked.vanilla.graph import (
+        StackedBucketGraph,
+    )
+    from crypto3_fil_proofs_tpu.models.porep.stacked.vanilla.proof import StackedDrg
+
+    graph = StackedBucketGraph(64, base_degree=6, expansion_degree=8,
+                               porep_id=bytes([5] * 32))
+    rid = bytes([2] * 32)
+    layers = 3
+    ram = StackedDrg.generate_labels(graph, layers, rid)
+    paths = [str(tmp_path / f"layer-{i}") for i in range(1, layers + 1)]
+    streamed = StackedDrg.generate_labels_streamed(graph, layers, rid, paths)
+    for l in range(1, layers + 1):
+        assert np.array_equal(ram.layer(l), streamed.layer(l))

@@ -165,6 +165,9 @@ def cmd_verify(args) -> int:
 
 
 def cmd_small(args) -> int:
+    """Summarize a params file; with --out, write a small companion
+    file (delta pair + query digest) for cheap chain verification
+    (reference main.cpp `small` subcommand)."""
     pk = _load_pk(args.path)
     print(f"log_n: {pk.log_n}")
     for name in ("a_query", "b_g1_query", "h_query", "l_query"):
@@ -173,6 +176,112 @@ def cmd_small(args) -> int:
     print(f"ic: {len(pk.vk.ic)} inputs")
     print(f"delta_g1: {g1_to_compressed(pk.delta_g1).hex()[:32]}...")
     print(f"delta_g2: {g2_to_compressed(pk.vk.delta_g2).hex()[:32]}...")
+    if getattr(args, "out", None):
+        import json
+
+        small = {
+            "delta_g1": g1_to_compressed(pk.delta_g1).hex(),
+            "delta_g2": g2_to_compressed(pk.vk.delta_g2).hex(),
+            "query_digest": _query_digest(pk),
+            "log_n": pk.log_n,
+        }
+        with open(args.out, "w") as f:
+            json.dump(small, f, indent=2)
+        print(f"wrote small params: {args.out}")
+    return 0
+
+
+def _query_digest(pk) -> str:
+    """SHA-256 over the staged query tables (order-stable)."""
+    h = hashlib.sha256()
+    for name in ("a_query", "b_g1_query", "h_query", "l_query"):
+        px, py, valid = getattr(pk, name)
+        h.update(np.ascontiguousarray(px).tobytes())
+        h.update(np.ascontiguousarray(py).tobytes())
+    return h.hexdigest()
+
+
+def cmd_convert(args) -> int:
+    """Convert a params file between compressed and raw npz container
+    (reference main.cpp `convert`: raw <-> non-raw serialization — raw
+    trades disk for mmap-speed loading)."""
+    with np.load(args.path) as d:
+        payload = {k: d[k] for k in d.files}
+    tmp = args.path + ".conv.npz"
+    if args.to == "raw":
+        np.savez(tmp, **payload)
+    else:
+        np.savez_compressed(tmp, **payload)
+    os.replace(tmp, args.out or args.path)
+    print(f"converted to {args.to}: {args.out or args.path}")
+    return 0
+
+
+def cmd_merge(args) -> int:
+    """Merge a verified small-file contribution chain into the large
+    params for publishing (reference main.cpp `merge`): checks the
+    large file's delta matches the small chain head and (with
+    --original) that its queries are consistently d^-1-rescaled, then
+    stamps the contribution log into the large file's meta json."""
+    import json
+
+    with open(args.small) as f:
+        small = json.load(f)
+    large = _load_pk(args.large)
+    if g1_to_compressed(large.delta_g1).hex() != small["delta_g1"]:
+        print("FAIL: large params delta_g1 does not match small chain")
+        return 1
+    if g2_to_compressed(large.vk.delta_g2).hex() != small["delta_g2"]:
+        print("FAIL: large params delta_g2 does not match small chain")
+        return 1
+    if args.original:
+
+        class _V:
+            old, new = args.original, args.large
+
+        if cmd_verify(_V) != 0:
+            return 1
+    meta = {
+        "merged_small": os.path.basename(args.small),
+        "delta_g1": small["delta_g1"],
+        "contributions": small.get("contributions", []),
+    }
+    with open(args.large + ".meta", "w") as f:
+        json.dump(meta, f, indent=2)
+    print(f"merged; wrote {args.large}.meta")
+    return 0
+
+
+def cmd_split_keys(args) -> int:
+    """Split a finished params file into the published
+    v28-<id>.params/.vk/.meta triple in the parameter cache (reference
+    main.cpp `split-keys`: emits the .params/.vk/.info/.contribs files
+    parampublish ships)."""
+    import json
+
+    from ..core.parameter_cache import (
+        meta_path,
+        params_path,
+        vk_path,
+        _save_vk,
+    )
+
+    pk = _load_pk(args.path)
+    prefix = args.prefix
+    _save_pk(params_path(prefix), pk)
+    _save_vk(vk_path(prefix), pk.vk)
+    with open(meta_path(prefix), "w") as f:
+        json.dump(
+            {
+                "prefix": prefix,
+                "source": os.path.basename(args.path),
+                "query_digest": _query_digest(pk),
+            },
+            f,
+        )
+    print(f"wrote {params_path(prefix)}")
+    print(f"wrote {vk_path(prefix)}")
+    print(f"wrote {meta_path(prefix)}")
     return 0
 
 
@@ -199,7 +308,25 @@ def main(argv=None) -> int:
 
     p_small = sub.add_parser("small")
     p_small.add_argument("path")
+    p_small.add_argument("--out")
     p_small.set_defaults(fn=cmd_small)
+
+    p_conv = sub.add_parser("convert")
+    p_conv.add_argument("path")
+    p_conv.add_argument("--to", choices=["raw", "compressed"], required=True)
+    p_conv.add_argument("--out")
+    p_conv.set_defaults(fn=cmd_convert)
+
+    p_merge = sub.add_parser("merge")
+    p_merge.add_argument("small")
+    p_merge.add_argument("large")
+    p_merge.add_argument("--original", help="pre-contribution large file")
+    p_merge.set_defaults(fn=cmd_merge)
+
+    p_split = sub.add_parser("split-keys")
+    p_split.add_argument("path")
+    p_split.add_argument("--prefix", required=True)
+    p_split.set_defaults(fn=cmd_split_keys)
 
     args = ap.parse_args(argv)
     return args.fn(args)

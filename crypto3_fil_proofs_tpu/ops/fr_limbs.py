@@ -69,18 +69,30 @@ class Field:
     # -- host conversions ---------------------------------------------------
 
     def to_limbs(self, values) -> np.ndarray:
-        """Python ints / iterable of ints -> uint32 limb array [..., n]."""
+        """Python ints / iterable of ints -> uint32 limb array [..., n].
+
+        Bulk path goes through int.to_bytes + one frombuffer reinterpret
+        (the per-int limb loop cost minutes per 4M-entry CRS query)."""
         if isinstance(values, int):
             return _int_to_limbs_np(values % self.modulus, self.n)
-        flat = [v % self.modulus for v in values]
-        out = np.empty((len(flat), self.n), dtype=np.uint32)
-        for i, v in enumerate(flat):
-            out[i] = _int_to_limbs_np(v, self.n)
-        return out
+        m = self.modulus
+        nbytes = self.n * (LIMB_BITS // 8)
+        raw = b"".join((v % m).to_bytes(nbytes, "little") for v in values)
+        return (
+            np.frombuffer(raw, dtype="<u2").astype(np.uint32).reshape(-1, self.n)
+        )
 
     def from_limbs(self, limbs) -> list[int]:
         """uint32 limb array [..., n] -> list of python ints."""
         arr = np.asarray(limbs, dtype=np.uint64).reshape(-1, self.n)
+        if arr.size and int(arr.max()) <= LIMB_MASK:
+            # reduced limbs: one reinterpret + fast int.from_bytes rows
+            raw = arr.astype("<u2").tobytes()
+            nbytes = self.n * (LIMB_BITS // 8)
+            return [
+                int.from_bytes(raw[i : i + nbytes], "little")
+                for i in range(0, len(raw), nbytes)
+            ]
         shifts = np.uint64(LIMB_BITS) * np.arange(self.n, dtype=np.uint64)
         out = []
         for row in arr:

@@ -15,6 +15,10 @@ gather moves [W, B, 3, limbs] uint32 per device over ICI; at c=16 and
 """
 from __future__ import annotations
 
+from functools import lru_cache
+
+_NTT_SHARDED_CACHE: dict = {}
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -82,6 +86,93 @@ def msm_sharded(points, scalars, mesh: Mesh, n_buckets: int = 1 << 16,
         check_vma=False,
     )(points, scalars)
     return _tmap(lambda t: t[0], out)
+
+
+@lru_cache(maxsize=None)
+def _four_step_twiddles(log_n: int, inverse: bool) -> np.ndarray:
+    """[n1, n2, limbs] Montgomery table w^(k1*i2) for the four-step NTT
+    (w = 2^log_n-th root of unity, inverted for the inverse transform)."""
+    from ..ops import ntt as ntt_mod
+    from ..ops.bls12_381 import R
+    from ..ops.fr_limbs import FR
+
+    log_n1 = (log_n + 1) // 2
+    n1, n2 = 1 << log_n1, 1 << (log_n - log_n1)
+    omega = ntt_mod._root_of_unity(log_n)
+    if inverse:
+        omega = pow(omega, R - 2, R)
+    base = [1] * n2  # omega^i2, plain form
+    for i in range(1, n2):
+        base[i] = base[i - 1] * omega % R
+    mont = FR.mont_r % R
+    cur = [mont] * n2  # row k1 in Montgomery form
+    rows = np.empty((n1, n2, FR.n), dtype=np.uint32)
+    for k1 in range(n1):
+        rows[k1] = FR.to_limbs(cur)
+        if k1 + 1 < n1:
+            cur = [c * b % R for c, b in zip(cur, base)]
+    return rows
+
+
+def ntt_sharded(a, log_n: int, mesh: Mesh, inverse: bool = False):
+    """Multi-chip NTT via the four-step (transpose) algorithm — the
+    TPU-native butterfly exchange (SURVEY §2.9 P6): view the length-n
+    vector as an [n1, n2] matrix; each device runs length-n1 NTTs over
+    its column shard, scales by w^(k1*i2), transposes shards with ONE
+    tiled all_to_all over ICI, then runs length-n2 NTTs locally. Result
+    is bit-identical to the single-chip ops/ntt transform.
+
+    a: [n, limbs] Montgomery-form coefficients (natural order).
+    """
+    import jax.numpy as _jnp
+
+    from ..ops import ntt as ntt_mod
+    from ..ops.fr_limbs import FR, fr_ops
+
+    axis = mesh.axis_names[0]
+    D = mesh.devices.size
+    log_n1 = (log_n + 1) // 2
+    log_n2 = log_n - log_n1
+    n1, n2 = 1 << log_n1, 1 << log_n2
+    assert n1 % D == 0 and n2 % D == 0, "mesh must divide both factors"
+    plan1 = ntt_mod.NttPlan(log_n1)
+    plan2 = ntt_mod.NttPlan(log_n2)
+    tw1 = _jnp.asarray(plan1.tw_inv if inverse else plan1.tw_fwd)
+    tw2 = _jnp.asarray(plan2.tw_inv if inverse else plan2.tw_fwd)
+    step2 = _jnp.asarray(_four_step_twiddles(log_n, inverse))
+
+    def local(block, tw_loc, tw1_arr, tw2_arr):
+        # block [n1, n2/D, limbs]: length-n1 NTTs down each local column
+        x = block.transpose(1, 0, 2)
+        x = ntt_mod._transform(x, plan1, tw1_arr)
+        x = x.transpose(1, 0, 2)          # B[k1, i2_local]
+        x = fr_ops.mont_mul(x, tw_loc)    # * w^(k1*i2)
+        # shard transpose: i2-sharded -> k1-sharded (the ICI exchange)
+        x = jax.lax.all_to_all(x, axis, split_axis=0, concat_axis=1, tiled=True)
+        return ntt_mod._transform(x, plan2, tw2_arr)  # rows over i2
+
+    key = (log_n, inverse, mesh)
+    fn = _NTT_SHARDED_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(
+            shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P(None, axis, None), P(None, axis, None),
+                          P(None, None), P(None, None)),
+                out_specs=P(axis, None, None),
+                check_vma=False,
+            )
+        )
+        _NTT_SHARDED_CACHE[key] = fn
+    y = fn(a.reshape(n1, n2, FR.n), step2, tw1, tw2)
+    # X[k1 + n1*k2] = Y[k1, k2] -> natural order
+    out = y.transpose(1, 0, 2).reshape(1 << log_n, FR.n)
+    if inverse:
+        out = fr_ops.mont_mul(
+            out, _jnp.asarray(ntt_mod.NttPlan(log_n).n_inv_mont)
+        )
+    return out
 
 
 def build_tree_sharded(leaves, arity: int, mesh: Mesh):

@@ -8,28 +8,30 @@ operations fold constants so composite gadgets (SHA-256) stay small.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
 
 from ...ops.bls12_381 import R
 from ..r1cs import ConstraintSystem, LinearCombination, lc_one
 
 
-@dataclass
+_M1 = R - 1  # -1 mod R (prebuilt coeff for the raw-dict fast paths)
+
+
 class AllocatedBit:
-    var: int
-    value: int  # 0 or 1
+    __slots__ = ("var", "value")
+
+    def __init__(self, var: int, value: int):
+        self.var = var
+        self.value = value
 
     @classmethod
     def alloc(cls, cs: ConstraintSystem, value: int) -> "AllocatedBit":
-        value = int(bool(value))
-        var = cs.alloc(value, "bit")
+        value = 1 if value else 0
+        values = cs.values
+        values.append(value)
+        cs.is_input.append(False)
+        var = len(values) - 1
         # b * (1 - b) = 0
-        cs.enforce(
-            LinearCombination.from_var(var),
-            lc_one() - LinearCombination.from_var(var),
-            LinearCombination(),
-            "bit constraint",
-        )
+        cs.enforce_raw({var: 1}, {0: 1, var: _M1}, {})
         return cls(var, value)
 
     @classmethod
@@ -44,19 +46,19 @@ class AllocatedBit:
         value = a.value ^ b.value
         var = cs.alloc(value, "xor")
         # 2a * b = a + b - c
-        cs.enforce(
-            a.lc().scale(2),
-            b.lc(),
-            a.lc() + b.lc() - LinearCombination.from_var(var),
-            "xor constraint",
-        )
+        if a.var == b.var:  # rare degenerate case; keep exact semantics
+            cs.enforce_raw({a.var: 2}, {b.var: 1}, {a.var: 2, var: _M1})
+        else:
+            cs.enforce_raw(
+                {a.var: 2}, {b.var: 1}, {a.var: 1, b.var: 1, var: _M1}
+            )
         return cls(var, value)
 
     @classmethod
     def and_(cls, cs, a: "AllocatedBit", b: "AllocatedBit") -> "AllocatedBit":
         value = a.value & b.value
         var = cs.alloc(value, "and")
-        cs.enforce(a.lc(), b.lc(), LinearCombination.from_var(var), "and constraint")
+        cs.enforce_raw({a.var: 1}, {b.var: 1}, {var: 1})
         return cls(var, value)
 
     @classmethod
@@ -64,21 +66,21 @@ class AllocatedBit:
         """a AND (NOT b)."""
         value = a.value & (1 - b.value)
         var = cs.alloc(value, "and_not")
-        cs.enforce(a.lc(), lc_one() - b.lc(), LinearCombination.from_var(var),
-                   "and_not constraint")
+        cs.enforce_raw({a.var: 1}, {0: 1, b.var: _M1}, {var: 1})
         return cls(var, value)
 
     @classmethod
     def nor(cls, cs, a: "AllocatedBit", b: "AllocatedBit") -> "AllocatedBit":
         value = (1 - a.value) & (1 - b.value)
         var = cs.alloc(value, "nor")
-        cs.enforce(lc_one() - a.lc(), lc_one() - b.lc(),
-                   LinearCombination.from_var(var), "nor constraint")
+        cs.enforce_raw({0: 1, a.var: _M1}, {0: 1, b.var: _M1}, {var: 1})
         return cls(var, value)
 
 
 class Boolean:
     """Constant-folding boolean: constant, bit, or negated bit."""
+
+    __slots__ = ("bit", "constant", "negated")
 
     def __init__(self, bit: AllocatedBit | None = None,
                  constant: bool | None = None, negated: bool = False):
@@ -91,7 +93,8 @@ class Boolean:
 
     @classmethod
     def const(cls, value: bool) -> "Boolean":
-        return cls(constant=bool(value))
+        # the two constants are immutable in practice; share singletons
+        return _TRUE if value else _FALSE
 
     @classmethod
     def from_bit(cls, bit: AllocatedBit) -> "Boolean":
@@ -203,3 +206,7 @@ def u8_vec_into_boolean_vec_le(cs, data: bytes) -> list[Boolean]:
         for i in range(8):
             out.append(Boolean.from_bit(AllocatedBit.alloc(cs, (byte >> i) & 1)))
     return out
+
+
+_TRUE = Boolean(constant=True)
+_FALSE = Boolean(constant=False)

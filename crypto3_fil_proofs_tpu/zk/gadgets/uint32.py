@@ -62,24 +62,35 @@ class UInt32:
     def addmany(cls, cs, operands: list["UInt32"]) -> "UInt32":
         """Sum mod 2^32. One packing constraint over sum-width bits."""
         assert len(operands) >= 2
-        from .boolean import accumulate_boolean
-
         total = sum(op.value for op in operands)
         n_bits = max(total.bit_length(), 32)
         result_bits = [
             AllocatedBit.alloc(cs, (total >> i) & 1) for i in range(n_bits)
         ]
-        lc = LinearCombination()
+        # raw-dict accumulation (hot path: 3 addmanys per SHA round)
+        terms: dict[int, int] = {}
+        get = terms.get
         for op in operands:
             coeff = 1
             for b in op.bits:
-                accumulate_boolean(lc, b, coeff)
-                coeff = (coeff * 2) % R
+                if b.constant is not None:
+                    if b.constant:
+                        terms[0] = (get(0, 0) + coeff) % R
+                elif b.negated:
+                    terms[0] = (get(0, 0) + coeff) % R
+                    v = b.bit.var
+                    terms[v] = (get(v, 0) - coeff) % R
+                else:
+                    v = b.bit.var
+                    terms[v] = (get(v, 0) + coeff) % R
+                coeff = coeff * 2 % R
         coeff = 1
         for b in result_bits:
-            lc.accumulate(b.var, -coeff)
-            coeff = (coeff * 2) % R
-        cs.enforce(lc, lc_one(), LinearCombination(), "addmany")
+            terms[b.var] = (get(b.var, 0) - coeff) % R
+            coeff = coeff * 2 % R
+        cs.enforce_raw(
+            {v: c for v, c in terms.items() if c}, {0: 1}, {}
+        )
         return cls(
             [Boolean.from_bit(b) for b in result_bits[:32]],
             total & 0xFFFFFFFF,

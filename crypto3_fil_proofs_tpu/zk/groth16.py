@@ -21,6 +21,7 @@ multi_proof 192 B/partition wire format.
 from __future__ import annotations
 
 import hashlib
+import os
 from dataclasses import dataclass
 
 import jax
@@ -324,11 +325,11 @@ def _qap_tau_evals(constraints, n_in, num_vars, tau, log_n):
     ]
     for j, (a, b, c) in enumerate(constraints):
         lj = lag[j]
-        for var, coeff in a.terms.items():
+        for var, coeff in a.items():
             u[var] = (u[var] + coeff * lj) % R
-        for var, coeff in b.terms.items():
+        for var, coeff in b.items():
             v[var] = (v[var] + coeff * lj) % R
-        for var, coeff in c.terms.items():
+        for var, coeff in c.items():
             w[var] = (w[var] + coeff * lj) % R
     # input consistency rows: A = x_i, B = 0, C = 0
     for i in range(n_in):
@@ -372,11 +373,19 @@ def setup(cs: ConstraintSystem, seed: bytes = b"fil-tpu-setup") -> ProvingKey:
     gamma = rng.randrange(1, R)
     delta = rng.randrange(1, R)
 
+    import time as _time
+
+    def _progress(msg):
+        if os.environ.get("FIL_PROOFS_SETUP_PROGRESS"):
+            print(f"[setup {_time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
     n_in, n_aux, constraints, inputs, aux = cs.finalize()
     num_vars = n_in + n_aux
     n_rows = len(constraints) + n_in
     log_n = max(1, (n_rows - 1).bit_length())
+    _progress(f"finalized: {len(constraints)} constraints, {num_vars} vars")
     u, v, w, _ = _qap_tau_evals(constraints, n_in, num_vars, tau, log_n)
+    _progress("QAP tau evaluations done")
 
     gamma_inv = pow(gamma, R - 2, R)
     delta_inv = pow(delta, R - 2, R)
@@ -399,11 +408,16 @@ def setup(cs: ConstraintSystem, seed: bytes = b"fil-tpu-setup") -> ProvingKey:
 
     # device fixed-base batches
     a_pts = batch_fixed_base_g1(u)
+    _progress("a_query done")
     b_g1_pts = batch_fixed_base_g1(v)
+    _progress("b_g1_query done")
     ic_pts = batch_fixed_base_g1(ic_scalars)
     l_pts = batch_fixed_base_g1(l_scalars)
+    _progress("ic+l queries done")
     h_pts = batch_fixed_base_g1(h_scalars)
+    _progress("h_query done")
     b_g2_pts = batch_fixed_base_g2(v)
+    _progress("b_g2_query done")
     g2_gen = g2_from_affine((G2_GEN_X, G2_GEN_Y))
 
     g1 = g1_from_affine(G1_GEN)
@@ -472,9 +486,9 @@ def _compute_h(cs_finalized, assignment, log_n):
     b_evals = [0] * m
     c_evals = [0] * m
     for j, (a, b, c) in enumerate(constraints):
-        a_evals[j] = a.evaluate(assignment)
-        b_evals[j] = b.evaluate(assignment)
-        c_evals[j] = c.evaluate(assignment)
+        a_evals[j] = sum(co * assignment[v] for v, co in a.items()) % R
+        b_evals[j] = sum(co * assignment[v] for v, co in b.items()) % R
+        c_evals[j] = sum(co * assignment[v] for v, co in c.items()) % R
     base = len(constraints)
     for i in range(n_in):
         a_evals[base + i] = assignment[i]

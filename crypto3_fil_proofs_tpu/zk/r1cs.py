@@ -108,14 +108,17 @@ class ConstraintSystem:
     constraints: list[tuple] = field(default_factory=list)
     names: list[str] = field(default_factory=list)
     _path: list[str] = field(default_factory=list)
+    _prefix: str = ""
 
     # -- namespaces (debugging parity with bellperson paths) ---------------
 
     def push_namespace(self, name: str) -> None:
         self._path.append(name)
+        self._prefix = "/".join(self._path)
 
     def pop_namespace(self) -> None:
         self._path.pop()
+        self._prefix = "/".join(self._path)
 
     def namespace(self, name: str):
         cs = self
@@ -149,11 +152,23 @@ class ConstraintSystem:
 
     def enforce(self, a: LinearCombination, b: LinearCombination,
                 c: LinearCombination, name: str = "") -> None:
-        self.constraints.append((a, b, c))
+        # constraints store plain {var: coeff} dicts (no LC wrappers) —
+        # the storage format the QAP consumers iterate directly
+        self.constraints.append((a.terms, b.terms, c.terms))
         if name:
-            self.names.append("/".join(self._path + [name]))
+            self.names.append(
+                self._prefix + "/" + name if self._prefix else name
+            )
         else:
-            self.names.append("/".join(self._path))
+            self.names.append(self._prefix)
+
+    def enforce_raw(self, a_terms: dict, b_terms: dict, c_terms: dict) -> None:
+        """Hot-path enforce: prebuilt {var: coeff} dicts are appended
+        as-is (coeffs must already be reduced mod R, zeros dropped) —
+        the bit-gadget emission path (SHA-256 dominates SDR synthesis)
+        goes through here."""
+        self.constraints.append((a_terms, b_terms, c_terms))
+        self.names.append(self._prefix)
 
     @property
     def num_constraints(self) -> int:
@@ -173,7 +188,10 @@ class ConstraintSystem:
     def which_unsatisfied(self) -> str | None:
         assignment = self.values
         for i, (a, b, c) in enumerate(self.constraints):
-            if (a.evaluate(assignment) * b.evaluate(assignment) - c.evaluate(assignment)) % R != 0:
+            av = sum(co * assignment[v] for v, co in a.items())
+            bv = sum(co * assignment[v] for v, co in b.items())
+            cv = sum(co * assignment[v] for v, co in c.items())
+            if (av * bv - cv) % R != 0:
                 return self.names[i] or f"constraint {i}"
         return None
 
@@ -204,10 +222,8 @@ class ConstraintSystem:
         for a, b, c in self.constraints:
             remapped.append(
                 tuple(
-                    LinearCombination(
-                        {new_index[v]: co for v, co in lc.terms.items()}
-                    )
-                    for lc in (a, b, c)
+                    {new_index[v]: co for v, co in terms.items()}
+                    for terms in (a, b, c)
                 )
             )
         return n_in, len(aux), remapped, inputs, aux

@@ -101,3 +101,68 @@ def test_phase2_contribute_verify(tmp_path, monkeypatch, capsys):
     # ...and NOT with the original vk (delta changed)
     assert not groth16.verify(pk.vk, proof, [out_public])
     reset_settings()
+
+
+def test_phase2_convert_merge_split_keys(tmp_path, monkeypatch):
+    """New subcommands (reference bin/phase2/src/main.cpp:604-):
+    convert (raw<->compressed container), small --out + merge
+    (contribution-chain grafting), split-keys (publish triple)."""
+    monkeypatch.setenv("FIL_PROOFS_PARAMETER_CACHE", str(tmp_path / "pc"))
+    from crypto3_fil_proofs_tpu.core.settings import reset_settings
+
+    reset_settings()
+    from crypto3_fil_proofs_tpu.cli import phase2
+    from crypto3_fil_proofs_tpu.core.parameter_cache import (
+        _load_pk,
+        _save_pk,
+        params_path,
+        vk_path,
+        meta_path,
+    )
+    from crypto3_fil_proofs_tpu.zk import groth16
+    from crypto3_fil_proofs_tpu.zk.r1cs import ConstraintSystem, LinearCombination, lc_one
+    from crypto3_fil_proofs_tpu.zk.gadgets.num import AllocatedNum
+    from crypto3_fil_proofs_tpu.ops.bls12_381 import R
+
+    cs = ConstraintSystem()
+    xn = AllocatedNum.alloc(cs, 3)
+    x2 = xn.square(cs)
+    out = AllocatedNum.alloc_input(cs, (x2.value + 1) % R)
+    cs.enforce(x2.lc() + LinearCombination.constant(1), lc_one(), out.lc())
+    pk = groth16.setup(cs, seed=b"phase2-mcs")
+    p0 = str(tmp_path / "ceremony_0")
+    _save_pk(p0, pk)
+    assert phase2.main(["contribute", p0, "--seed", "bob"]) == 0
+    p1 = str(tmp_path / "ceremony_1")
+
+    # convert: raw roundtrip preserves the key bit-exactly
+    praw = str(tmp_path / "ceremony_raw")
+    assert phase2.main(["convert", p1, "--to", "raw", "--out", praw]) == 0
+    import numpy as np
+
+    a, b = _load_pk(p1), _load_pk(praw)
+    assert np.array_equal(a.a_query[0], b.a_query[0])
+    assert a.vk.to_npz_dict()["vk_delta"].tobytes() == b.vk.to_npz_dict()["vk_delta"].tobytes()
+
+    # small --out + merge against the original
+    small = str(tmp_path / "small.json")
+    assert phase2.main(["small", p1, "--out", small]) == 0
+    assert phase2.main(["merge", small, p1, "--original", p0]) == 0
+    assert os.path.exists(p1 + ".meta")
+    # tampered small file must fail the merge
+    import json
+
+    with open(small) as f:
+        data = json.load(f)
+    data["delta_g1"] = "00" + data["delta_g1"][2:]
+    bad = str(tmp_path / "bad.json")
+    with open(bad, "w") as f:
+        json.dump(data, f)
+    assert phase2.main(["merge", bad, p1]) == 1
+
+    # split-keys writes the v28 triple
+    assert phase2.main(["split-keys", p1, "--prefix", "test-circuit-mcs"]) == 0
+    assert os.path.exists(params_path("test-circuit-mcs"))
+    assert os.path.exists(vk_path("test-circuit-mcs"))
+    assert os.path.exists(meta_path("test-circuit-mcs"))
+    reset_settings()

@@ -79,10 +79,11 @@ class NttPlan:
         self.coset_inv = _twiddle_table(self.gen_inv, self.n)
 
 
-def _transform(a: jnp.ndarray, plan: NttPlan, twiddles: jnp.ndarray):
+def _transform(a: jnp.ndarray, plan: NttPlan, twiddles: jnp.ndarray,
+               bitrev=None):
     """Core DIT butterflies over [..., n, 16] Montgomery coefficients."""
     n = plan.n
-    a = jnp.take(a, plan.bitrev, axis=-2)
+    a = jnp.take(a, plan.bitrev if bitrev is None else bitrev, axis=-2)
     for s in range(1, plan.log_n + 1):
         m = 1 << s
         tw = twiddles[:: n // m][: m // 2]  # omega_m^j, j < m/2
@@ -99,38 +100,78 @@ def _transform(a: jnp.ndarray, plan: NttPlan, twiddles: jnp.ndarray):
 
 from functools import partial
 
+# Plan tables are passed as device ARGUMENTS, not captured constants:
+# at log_n=22 the twiddle/coset tables are ~100-270 MB each and
+# embedding them in the HLO makes the program too large to compile
+# (the axon tunnel rejects it outright with HTTP 413).
+_DEV_PLANS: dict = {}
+
+
+def _dev_plan(log_n: int):
+    entry = _DEV_PLANS.get(log_n)
+    if entry is None:
+        plan = NttPlan(log_n)
+        entry = {
+            "bitrev": jnp.asarray(plan.bitrev),
+            "tw_fwd": jnp.asarray(plan.tw_fwd),
+            "tw_inv": jnp.asarray(plan.tw_inv),
+            "n_inv": jnp.asarray(plan.n_inv_mont),
+            "coset_fwd": jnp.asarray(plan.coset_fwd),
+            "coset_inv": jnp.asarray(plan.coset_inv),
+        }
+        _DEV_PLANS[log_n] = entry
+    return entry
+
 
 @partial(jax.jit, static_argnames=("log_n",))
-def ntt(a: jnp.ndarray, log_n: int) -> jnp.ndarray:
-    """Forward NTT of [..., n, 16] Montgomery-form coefficients."""
-    plan = NttPlan(log_n)
-    return _transform(a, plan, plan.tw_fwd)
+def _ntt_run(a, bitrev, tw, log_n):
+    return _transform(a, NttPlan(log_n), tw, bitrev)
 
 
 @partial(jax.jit, static_argnames=("log_n",))
-def intt(a: jnp.ndarray, log_n: int) -> jnp.ndarray:
-    """Inverse NTT (includes the 1/n scale)."""
-    plan = NttPlan(log_n)
-    out = _transform(a, plan, plan.tw_inv)
-    return fr_ops.mont_mul(out, jnp.asarray(plan.n_inv_mont))
+def _intt_run(a, bitrev, tw, n_inv, log_n):
+    out = _transform(a, NttPlan(log_n), tw, bitrev)
+    return fr_ops.mont_mul(out, n_inv)
 
 
 @partial(jax.jit, static_argnames=("log_n",))
-def coset_ntt(a: jnp.ndarray, log_n: int) -> jnp.ndarray:
-    """Evaluate on the coset gH: scale coefficients by g^i, then NTT."""
-    plan = NttPlan(log_n)
+def _coset_ntt_run(a, bitrev, tw, coset, log_n):
     return _transform(
-        fr_ops.mont_mul(a, jnp.asarray(plan.coset_fwd)), plan, plan.tw_fwd
+        fr_ops.mont_mul(a, coset), NttPlan(log_n), tw, bitrev
     )
 
 
 @partial(jax.jit, static_argnames=("log_n",))
+def _coset_intt_run(a, bitrev, tw, n_inv, coset_inv, log_n):
+    out = _transform(a, NttPlan(log_n), tw, bitrev)
+    out = fr_ops.mont_mul(out, n_inv)
+    return fr_ops.mont_mul(out, coset_inv)
+
+
+def ntt(a: jnp.ndarray, log_n: int) -> jnp.ndarray:
+    """Forward NTT of [..., n, 16] Montgomery-form coefficients."""
+    d = _dev_plan(log_n)
+    return _ntt_run(a, d["bitrev"], d["tw_fwd"], log_n)
+
+
+def intt(a: jnp.ndarray, log_n: int) -> jnp.ndarray:
+    """Inverse NTT (includes the 1/n scale)."""
+    d = _dev_plan(log_n)
+    return _intt_run(a, d["bitrev"], d["tw_inv"], d["n_inv"], log_n)
+
+
+def coset_ntt(a: jnp.ndarray, log_n: int) -> jnp.ndarray:
+    """Evaluate on the coset gH: scale coefficients by g^i, then NTT."""
+    d = _dev_plan(log_n)
+    return _coset_ntt_run(a, d["bitrev"], d["tw_fwd"], d["coset_fwd"], log_n)
+
+
 def coset_intt(a: jnp.ndarray, log_n: int) -> jnp.ndarray:
     """Inverse of coset_ntt: iNTT then scale by g^-i."""
-    plan = NttPlan(log_n)
-    out = _transform(a, plan, plan.tw_inv)
-    out = fr_ops.mont_mul(out, jnp.asarray(plan.n_inv_mont))
-    return fr_ops.mont_mul(out, jnp.asarray(plan.coset_inv))
+    d = _dev_plan(log_n)
+    return _coset_intt_run(
+        a, d["bitrev"], d["tw_inv"], d["n_inv"], d["coset_inv"], log_n
+    )
 
 
 # ---------------------------------------------------------------------------

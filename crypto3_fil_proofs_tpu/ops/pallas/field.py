@@ -128,6 +128,46 @@ fq_montmul_soa = _make_montmul_call(FQ)
 fr_montmul_soa = _make_montmul_call(FR)
 
 
+# -- tile-level add/sub (shared by the point kernels in pallas/g1.py) -------
+
+
+def _add_tiles(a, b, p_limbs, n):
+    """(a + b) mod p on [n, R, 128] tiles (canonical limbs in/out)."""
+    mask = jnp.uint32(LIMB_MASK)
+    limbs = []
+    carry = jnp.zeros_like(a[0])
+    for j in range(n):
+        v = a[j] + b[j] + carry
+        limbs.append(v & mask)
+        carry = v >> LIMB_BITS
+    t = jnp.stack(limbs, axis=0)
+    # t may be >= p (carry can only be 0 here since a,b < p < 2^(16n))
+    return _sub_if_ge_tiles(t, p_limbs, n)
+
+
+def _sub_tiles(a, b, p_limbs, n):
+    """(a - b) mod p on [n, R, 128] tiles."""
+    mask = jnp.uint32(LIMB_MASK)
+    diff = []
+    borrow = jnp.zeros_like(a[0])
+    for j in range(n):
+        s = b[j] + borrow
+        d = a[j] - s
+        borrow = (a[j] < s).astype(jnp.uint32)
+        diff.append(d & mask)
+    d = jnp.stack(diff, axis=0)
+    neg = borrow != 0
+    # add p back where it went negative
+    limbs = []
+    carry = jnp.zeros_like(a[0])
+    for j in range(n):
+        v = d[j] + jnp.uint32(p_limbs[j]) + carry
+        limbs.append(v & mask)
+        carry = v >> LIMB_BITS
+    d_plus_p = jnp.stack(limbs, axis=0)
+    return jnp.where(neg, d_plus_p, d)
+
+
 # -- layout helpers ---------------------------------------------------------
 
 

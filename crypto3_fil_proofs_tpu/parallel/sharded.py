@@ -18,6 +18,7 @@ from __future__ import annotations
 from functools import lru_cache
 
 _NTT_SHARDED_CACHE: dict = {}
+_SHARDED_FN_CACHE: dict = {}
 
 import jax
 import jax.numpy as jnp
@@ -70,22 +71,33 @@ def msm_sharded(points, scalars, mesh: Mesh, n_buckets: int = 1 << 16,
                 )
             state = merged
             size = half + (size % 2)
-        acc = _tmap(lambda t: t[0], state)
-        totals = msm_mod._aggregate_buckets(acc, curve)
-        res = msm_mod._combine_windows(
-            totals, int(n_buckets).bit_length() - 1, curve
-        )
-        return _tmap(lambda t: t[None], res)
+        return _tmap(lambda t: t[0], state)
 
     spec_points = _tmap(lambda _: P(axis, None), points)
-    out = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(spec_points, P(axis, None)),
-        out_specs=P(None, None),
-        check_vma=False,
-    )(points, scalars)
-    return _tmap(lambda t: t[0], out)
+    key = ("msm", n_buckets, curve_name, mesh,
+           jax.tree_util.tree_structure(points))
+    fn = _SHARDED_FN_CACHE.get(key)
+    if fn is None:
+        # jit ONLY the sharded part (accumulate + gather + merge-fold);
+        # aggregation/combine reuse msm_device's single-device jitted
+        # stages, so their (large) curve programs compile once and are
+        # shared between the sharded and local MSM paths. Eager
+        # shard_map would dispatch every primitive per-device.
+        fn = jax.jit(
+            shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(spec_points, P(axis, None)),
+                out_specs=P(None, None),
+                check_vma=False,
+            )
+        )
+        _SHARDED_FN_CACHE[key] = fn
+    acc = fn(points, scalars)
+    totals = msm_mod._aggregate_stage(acc, curve_name)
+    return msm_mod._combine_stage(
+        totals, int(n_buckets).bit_length() - 1, curve_name
+    )
 
 
 @lru_cache(maxsize=None)

@@ -63,7 +63,19 @@ class UInt32:
         """Sum mod 2^32. One packing constraint over sum-width bits."""
         assert len(operands) >= 2
         total = sum(op.value for op in operands)
-        n_bits = max(total.bit_length(), 32)
+        # result width from the STATIC bound (constants count at their
+        # value, variables at 2^32-1), never the witness value — the
+        # circuit structure must be identical for blank-CRS synthesis
+        # and witness synthesis (bellperson uint32.rs max_value
+        # semantics; a witness-sized width made witness circuits
+        # incompatible with the cached Groth16 CRS)
+        bound = 0
+        for op in operands:
+            if all(b.constant is not None for b in op.bits):
+                bound += op.value
+            else:
+                bound += 0xFFFFFFFF
+        n_bits = max(bound.bit_length(), 32)
         result_bits = [
             AllocatedBit.alloc(cs, (total >> i) & 1) for i in range(n_bits)
         ]

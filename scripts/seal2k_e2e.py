@@ -70,6 +70,10 @@ def stage_seal(config):
     from crypto3_fil_proofs_tpu.api import seal as api_seal
     from crypto3_fil_proofs_tpu.core.fr32 import to_unpadded_bytes
 
+    import shutil
+
+    if os.path.isdir(WORK_DIR):
+        shutil.rmtree(WORK_DIR)  # stale staged/cache files break add_piece
     os.makedirs(WORK_DIR, exist_ok=True)
     staged_path = os.path.join(WORK_DIR, "staged")
     sealed_path = os.path.join(WORK_DIR, "sealed")

@@ -91,7 +91,6 @@ _MSM_N = 32
 _MSM_BUCKETS = 16
 
 
-@pytest.mark.device_heavy
 def test_msm_matches_naive(rng_seed):
     rng = random.Random(rng_seed)
     pts = _rand_points(_MSM_N, rng_seed + 1)
@@ -107,7 +106,6 @@ def test_msm_matches_naive(rng_seed):
     assert g1_eq(got, want)
 
 
-@pytest.mark.device_heavy
 def test_msm_all_zero_scalars(rng_seed):
     pts = _rand_points(_MSM_N, rng_seed + 2)
     got = msm_mod.msm(pts, [0] * _MSM_N, n_buckets=_MSM_BUCKETS)

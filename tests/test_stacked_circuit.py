@@ -76,3 +76,23 @@ def test_stacked_circuit_rejects_tampered_label(sealed_one_challenge):
         pp, pub, tampered, p_aux.comm_c, p_aux.comm_r_last
     )
     assert cs.which_unsatisfied() is not None
+
+
+def test_blank_and_witness_circuits_share_structure(sealed_one_challenge):
+    """The blank (CRS) circuit and the witness circuit must have
+    identical shape — variable and constraint counts — or cached Groth16
+    parameters cannot prove real seals (reference compound_proof
+    blank_circuit contract; caught live: a witness-sized addmany width
+    made the 2KiB witness circuit diverge from its CRS)."""
+    from crypto3_fil_proofs_tpu.models.porep.stacked.circuit.compound import (
+        StackedCompound,
+    )
+
+    pp, pub, p_aux, proofs = sealed_one_challenge
+    witness_cs = circ.circuit_from_vanilla(
+        pp, pub, proofs[0], p_aux.comm_c, p_aux.comm_r_last
+    )
+    blank_cs = StackedCompound(shape=(8, 0, 0)).blank_circuit(pp)
+    assert blank_cs.num_constraints == witness_cs.num_constraints
+    assert blank_cs.num_inputs == witness_cs.num_inputs
+    assert blank_cs.num_aux == witness_cs.num_aux

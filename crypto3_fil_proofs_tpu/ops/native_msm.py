@@ -54,6 +54,7 @@ def get_lib():
             ctypes.c_int,
             ctypes.c_char_p,
         ]
+        lib.msm_g2_cpu.argtypes = lib.msm_g1_cpu.argtypes
         _lib = lib
     except OSError:
         _lib = None
@@ -102,6 +103,52 @@ def msm_g1_cpu(
         int.from_bytes(raw[48:96], "little"),
         int.from_bytes(raw[96:], "little"),
     )
+
+
+def _encode_points_g2(points) -> np.ndarray:
+    """Host G2 affine ((x0,x1),(y0,y1)) int pairs (or None) -> (N, 192)
+    uint8 plain little-endian rows (all-zero row = infinity)."""
+    out = np.zeros((len(points), 192), dtype=np.uint8)
+    for i, pt in enumerate(points):
+        if pt is None:
+            continue
+        (x0, x1), (y0, y1) = pt
+        for j, v in enumerate((x0, x1, y0, y1)):
+            out[i, 48 * j : 48 * (j + 1)] = np.frombuffer(
+                v.to_bytes(48, "little"), dtype=np.uint8
+            )
+    return out
+
+
+def msm_g2_cpu(
+    points_affine, scalars: list[int], c: int = 0, n_threads: int = 0
+):
+    """Native multicore Pippenger G2 MSM. points_affine: list of
+    ((x0,x1),(y0,y1)) int tuples or None for infinity, or a pre-encoded
+    (N, 192) uint8 array; returns host Jacobian Fq2 int tuple
+    ((X0,X1),(Y0,Y1),(Z0,Z1))."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    enc = (
+        points_affine
+        if isinstance(points_affine, np.ndarray)
+        else _encode_points_g2(points_affine)
+    )
+    n = enc.shape[0]
+    sbuf = b"".join((s % _R).to_bytes(32, "little") for s in scalars)
+    out = np.empty(288, dtype=np.uint8)
+    lib.msm_g2_cpu(
+        np.ascontiguousarray(enc).ctypes.data_as(ctypes.c_char_p),
+        sbuf,
+        n,
+        c,
+        n_threads,
+        out.ctypes.data_as(ctypes.c_char_p),
+    )
+    raw = out.tobytes()
+    vals = [int.from_bytes(raw[i * 48 : (i + 1) * 48], "little") for i in range(6)]
+    return ((vals[0], vals[1]), (vals[2], vals[3]), (vals[4], vals[5]))
 
 
 from .bls12_381 import R as _R  # noqa: E402  (avoid import cycle at top)

@@ -148,6 +148,19 @@ def _coset_intt_run(a, bitrev, tw, n_inv, coset_inv, log_n):
     return fr_ops.mont_mul(out, coset_inv)
 
 
+def release_plan(log_n: int) -> None:
+    """Drop the device-resident plan tables for a size (at log_n=22 they
+    hold ~1 GB of HBM — callers that are done transforming should free
+    them before launching other large device work)."""
+    entry = _DEV_PLANS.pop(log_n, None)
+    if entry:
+        for arr in entry.values():
+            try:
+                arr.delete()
+            except Exception:
+                pass
+
+
 def ntt(a: jnp.ndarray, log_n: int) -> jnp.ndarray:
     """Forward NTT of [..., n, 16] Montgomery-form coefficients."""
     d = _dev_plan(log_n)

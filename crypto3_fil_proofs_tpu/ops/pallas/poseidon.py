@@ -1,0 +1,257 @@
+"""Pallas TPU Poseidon permutation (whole permutation in one kernel).
+
+The XLA permutation (ops/poseidon_jax.py) runs ~65 rounds as separate
+VPU/MXU ops with every intermediate state materialized to HBM; measured
+17.2k poseidon-8 hashes/s on v5e. Here the full permutation — round
+constants, S-boxes, MDS mix — happens inside one kernel with the state
+resident in VMEM: HBM traffic is one read of the preimage and one write
+of the digest, and the montmul compute runs at the same in-register
+rate as the field kernel (ops/pallas/field.py, 2.6G montmuls/s).
+
+This is the tree_c / tree_r_last builder kernel (SURVEY §2.9 P3;
+reference stacked/vanilla/proof.hpp:385-646 GPU column/tree builders,
+configuration.hpp:50-56 batch limits). Bit-exactness: validated against
+ops/poseidon.py host permutation (which itself is pinned by on-device
+tests at arities 2/8/11).
+
+Layout: SoA [t, n_limbs, N] with N tiled (ROWS, 128).
+"""
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fr_limbs import FR, LIMB_BITS, LIMB_MASK
+from ..poseidon import poseidon_constants
+
+N_LIMBS = FR.n  # 16
+N0INV = int(FR.n0inv)
+P_LIMBS = [int(v) for v in FR.p_np]
+P_INT = FR.modulus
+
+POS_ROWS = 8
+POS_BLOCK = POS_ROWS * 128
+
+# plain int (weak-typed) so the kernel doesn't capture a device constant
+_mask = LIMB_MASK
+
+
+def _montmul_val_ref(a, b_ref):
+    """CIOS with `a` an in-kernel [16, R, 128] value and `b_ref` a VMEM
+    ref sliced one limb per iteration (same math as pallas/field.py)."""
+    t = jnp.zeros((N_LIMBS + 1,) + a.shape[1:], dtype=jnp.uint32)
+    zrow = jnp.zeros_like(t[:1])
+
+    def body(i, t):
+        bi = b_ref[pl.ds(i, 1)][0]
+        prod = a * bi
+        t0 = t[0] + (prod[0] & _mask)
+        m = (t0 * jnp.uint32(N0INV)) & _mask
+        q = jnp.stack([m * jnp.uint32(pj) for pj in P_LIMBS], axis=0)
+        lo = (prod & _mask) + (q & _mask)
+        hi = (prod >> LIMB_BITS) + (q >> LIMB_BITS)
+        t = t + jnp.concatenate([lo, zrow], axis=0)
+        t = t + jnp.concatenate([zrow, hi], axis=0)
+        carry = t[0] >> LIMB_BITS
+        t = jnp.concatenate([t[1:2] + carry, t[2:], zrow], axis=0)
+        return t
+
+    t = jax.lax.fori_loop(0, N_LIMBS, body, t)
+    limbs, carry = [], jnp.zeros_like(t[0])
+    for j in range(N_LIMBS):
+        v = t[j] + carry
+        limbs.append(v & _mask)
+        carry = v >> LIMB_BITS
+    out = jnp.stack(limbs, axis=0)
+    return _sub_if_ge(out)
+
+
+def _sub_if_ge(x):
+    borrow = jnp.zeros_like(x[0])
+    diff = []
+    for j in range(N_LIMBS):
+        s = jnp.uint32(P_LIMBS[j]) + borrow
+        d = x[j] - s
+        borrow = (x[j] < s).astype(jnp.uint32)
+        diff.append(d & _mask)
+    return jnp.where(borrow == 0, jnp.stack(diff, axis=0), x)
+
+
+def _add_const_ref(x, c_ref):
+    """x + constant from a VMEM ref row [16] (mod p)."""
+    limbs, carry = [], jnp.zeros_like(x[0])
+    for j in range(N_LIMBS):
+        v = x[j] + c_ref[j] + carry
+        limbs.append(v & _mask)
+        carry = v >> LIMB_BITS
+    return _sub_if_ge(jnp.stack(limbs, axis=0))
+
+
+def _sbox(x, scratch):
+    """x^5 via the scratch ref (multiplier must be ref-sliceable)."""
+    scratch[:] = x
+    x2 = _montmul_val_ref(x, scratch)
+    scratch[:] = x2
+    x4 = _montmul_val_ref(x2, scratch)
+    scratch[:] = x
+    return _montmul_val_ref(x4, scratch)
+
+
+def _reduce_sum_mod(parts):
+    """Sum of t canonical elements (u32 adds stay exact: t*2^16 < 2^32)
+    then carry-normalize and conditionally subtract 8R/4R/2R/R."""
+    acc = parts[0]
+    for p_ in parts[1:]:
+        acc = acc + p_
+    limbs, carry = [], jnp.zeros_like(acc[0])
+    for j in range(N_LIMBS):
+        v = acc[j] + carry
+        limbs.append(v & _mask)
+        carry = v >> LIMB_BITS
+    # t < 16 so the total < 16p < 2^260: one extra limb of carry
+    extra = carry  # < 2^4
+    x = jnp.stack(limbs, axis=0)
+    for mult in (8, 4, 2, 1):
+        pm = P_INT * mult
+        pm_limbs = [(pm >> (LIMB_BITS * j)) & LIMB_MASK for j in range(N_LIMBS + 1)]
+        borrow = jnp.zeros_like(x[0])
+        diff = []
+        for j in range(N_LIMBS):
+            s = jnp.uint32(pm_limbs[j]) + borrow
+            d = x[j] - s
+            borrow = (x[j] < s).astype(jnp.uint32)
+            diff.append(d & _mask)
+        extra_after = extra - jnp.uint32(pm_limbs[N_LIMBS]) - borrow
+        ge = extra >= jnp.uint32(pm_limbs[N_LIMBS]) + borrow
+        x = jnp.where(ge, jnp.stack(diff, axis=0), x)
+        extra = jnp.where(ge, extra_after, extra)
+    return x
+
+
+def _make_permute_kernel(arity: int):
+    c = poseidon_constants(arity)
+    t = c.t
+    r_f_half = c.r_f // 2
+    r_p = c.r_p
+    rounds = c.r_f + c.r_p
+
+    def kernel(state_ref, rc_ref, mds_ref, out_ref, scratch):
+        # state [t, 16, R, 128] as a list of t elements
+        state = [state_ref[i] for i in range(t)]
+
+        def full_round(r, state):
+            new = []
+            for i in range(t):
+                e = _add_const_ref(state[i], rc_ref[r, i])
+                new.append(_sbox(e, scratch))
+            return _mix(new)
+
+        def partial_round(r, state):
+            new = [
+                _add_const_ref(state[i], rc_ref[r, i]) for i in range(t)
+            ]
+            new[0] = _sbox(new[0], scratch)
+            return _mix(new)
+
+        def _mix(elems):
+            mixed = []
+            for i in range(t):
+                parts = [
+                    _montmul_val_ref(elems[j], mds_ref.at[i, j])
+                    for j in range(t)
+                ]
+                mixed.append(_reduce_sum_mod(parts))
+            return mixed
+
+        def run(state_stack, lo, hi, fn):
+            def body(r, s):
+                lst = [s[i] for i in range(t)]
+                return jnp.stack(fn(r, lst), axis=0)
+
+            return jax.lax.fori_loop(lo, hi, body, state_stack)
+
+        s = jnp.stack(state, axis=0)
+        s = run(s, 0, r_f_half, full_round)
+        s = run(s, r_f_half, r_f_half + r_p, partial_round)
+        s = run(s, r_f_half + r_p, rounds, full_round)
+        out_ref[:] = s
+
+    return kernel, t, rounds
+
+
+@lru_cache(maxsize=None)
+def _staged(arity: int):
+    c = poseidon_constants(arity)
+    mont = lambda vals: FR.to_limbs([(v * FR.mont_r) % P_INT for v in vals])
+    rc = mont(c.round_constants).reshape(c.r_f + c.r_p, c.t, N_LIMBS)
+    mds = mont([v for row in c.mds for v in row]).reshape(c.t, c.t, N_LIMBS)
+    tag = mont([c.domain_tag]).reshape(N_LIMBS)
+    return rc, mds, tag
+
+
+@partial(jax.jit, static_argnames=("arity",))
+def permute_soa(states, arity: int):
+    """states: [t, 16, N] SoA Montgomery; N a multiple of POS_BLOCK.
+    Returns the permuted states, same layout."""
+    kernel, t, rounds = _make_permute_kernel(arity)
+    rc, mds, _ = _staged(arity)
+    N = states.shape[2]
+    assert N % POS_BLOCK == 0
+    s3 = states.reshape(t, N_LIMBS, N // 128, 128)
+    grid = (N // POS_BLOCK,)
+    state_spec = pl.BlockSpec(
+        (t, N_LIMBS, POS_ROWS, 128), lambda i: (0, 0, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    rc_spec = pl.BlockSpec(
+        (rounds, t, N_LIMBS), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    mds_spec = pl.BlockSpec(
+        (t, t, N_LIMBS), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (t, N_LIMBS, N // 128, 128), jnp.uint32
+        ),
+        grid=grid,
+        in_specs=[state_spec, rc_spec, mds_spec],
+        out_specs=state_spec,
+        scratch_shapes=[pltpu.VMEM((N_LIMBS, POS_ROWS, 128), jnp.uint32)],
+        interpret=jax.default_backend() == "cpu",
+    )(s3, jnp.asarray(rc), jnp.asarray(mds))
+    return out.reshape(t, N_LIMBS, N)
+
+
+def hash_mont_soa(preimages, arity: int):
+    """preimages: [arity, 16, N] SoA Montgomery. Returns [16, N] digests
+    (Merkle domain tag in state[0]; digest = state[1])."""
+    _, _, tag = _staged(arity)
+    N = preimages.shape[2]
+    tag_plane = jnp.broadcast_to(
+        jnp.asarray(tag)[None, :, None], (1, N_LIMBS, N)
+    )
+    states = jnp.concatenate([tag_plane, preimages], axis=0)
+    out = permute_soa(states, arity)
+    return out[1]
+
+
+def hash_level_packed(nodes, arity: int):
+    """[N, 16] packed Montgomery nodes -> [N//arity, 16] parents via the
+    pallas kernel (pads the batch up to POS_BLOCK internally)."""
+    n = nodes.shape[0]
+    assert n % arity == 0
+    batch = n // arity
+    pre = nodes.reshape(batch, arity, N_LIMBS).transpose(1, 2, 0)
+    pad = (-batch) % POS_BLOCK
+    if pad:
+        pre = jnp.concatenate(
+            [pre, jnp.zeros((arity, N_LIMBS, pad), jnp.uint32)], axis=2
+        )
+    out = hash_mont_soa(pre, arity)
+    return out[:, :batch].T

@@ -515,8 +515,14 @@ def _compute_h(cs_finalized, assignment, log_n):
     z_inv_m = frops.encode(z_inv)
     h_cos = frops.mont_mul(num, z_inv_m)
     h_coeff = coset_intt(h_cos, log_n)
-    h_plain = frops.from_mont(h_coeff)
-    return _limbs_to_ints(np.asarray(h_plain))[: m - 1]
+    h_plain = np.asarray(frops.from_mont(h_coeff))
+    if log_n >= 20:
+        # free the ~1 GB of device twiddle tables before the MSMs — the
+        # combined residency crashed the v5e worker mid-prove
+        from ..ops.ntt import release_plan
+
+        release_plan(log_n)
+    return _limbs_to_ints(h_plain)[: m - 1]
 
 
 def _pad_pow2(limbs: np.ndarray, points_tree):
@@ -538,6 +544,45 @@ def _pad_pow2(limbs: np.ndarray, points_tree):
     return limbs, points_tree
 
 
+# Per-launch MSM segment: 2^22-point single-launch programs crashed the
+# v5e worker in the aggregation stage; 2^20 segments reuse one proven
+# compiled program and the partial results add on the host (MSM is
+# linear over point-disjoint segments).
+MSM_CHUNK = 1 << 20
+
+
+def _msm_g1_native(query, scalars: list[int]):
+    """Native multicore CPU Pippenger (ops/native_msm) over a staged G1
+    query. Crash-isolated prove backend (FIL_PROOFS_MSM_BACKEND=native,
+    or automatic when a device MSM launch dies mid-prove — an axon
+    worker fault poisons the whole client) and an independent
+    cross-check of the device kernels. Montgomery decode + byte packing
+    happen fully on the host so no device call is needed."""
+    from ..ops import native_msm
+
+    if native_msm.get_lib() is None:
+        return None
+    px, py, valid = query
+    valid = np.asarray(valid).astype(bool)
+    xs = g1_jax.FQ.from_limbs(np.asarray(px))
+    ys = g1_jax.FQ.from_limbs(np.asarray(py))
+    rinv = pow(1 << (16 * 24), -1, P_MOD)
+    zero48 = bytes(48)
+    xb = b"".join(
+        ((v * rinv) % P_MOD).to_bytes(48, "little") if ok else zero48
+        for v, ok in zip(xs, valid)
+    )
+    yb = b"".join(
+        ((v * rinv) % P_MOD).to_bytes(48, "little") if ok else zero48
+        for v, ok in zip(ys, valid)
+    )
+    n = len(xs)
+    enc = np.empty((n, 96), dtype=np.uint8)
+    enc[:, :48] = np.frombuffer(xb, np.uint8).reshape(n, 48)
+    enc[:, 48:] = np.frombuffer(yb, np.uint8).reshape(n, 48)
+    return native_msm.msm_g1_cpu(enc, scalars)
+
+
 def _msm_g1_staged(query, scalars: list[int], n_buckets):
     px, py, valid = query
     assert px.shape[0] == len(scalars)
@@ -550,17 +595,81 @@ def _msm_g1_staged(query, scalars: list[int], n_buckets):
             if k:
                 acc = g1_add(acc, g1_mul((x, y, 1), k))
         return acc
-    limbs, (px, py) = _pad_pow2(_ints_to_limbs_fast(s), (px, py))
-    out = msm_mod.msm_device(
-        (jnp.asarray(px), jnp.asarray(py)),
-        jnp.asarray(limbs),
-        n_buckets=n_buckets,
-        curve_name="g1",
-    )
-    X = fq_ops.decode(out[0][None])[0]
-    Y = fq_ops.decode(out[1][None])[0]
-    Z = fq_ops.decode(out[2][None])[0]
-    return (X, Y, Z)
+    backend = os.environ.get("FIL_PROOFS_MSM_BACKEND")
+    if backend == "native":
+        out = _msm_g1_native(query, s)
+        if out is not None:
+            return out
+    if backend == "pallas":
+        from ..ops.pallas.msm import msm_pallas
+
+        acc = G1_INF
+        for lo in range(0, len(s), MSM_CHUNK):
+            seg = s[lo : lo + MSM_CHUNK]
+            limbs, (sx, sy) = _pad_pow2(
+                _ints_to_limbs_fast(seg),
+                (px[lo : lo + MSM_CHUNK], py[lo : lo + MSM_CHUNK]),
+            )
+            out = msm_pallas(
+                (np.asarray(sx), np.asarray(sy)),
+                np.asarray(limbs),
+                n_buckets=n_buckets or 256,
+            )
+            acc = g1_add(acc, out)
+        return acc
+    acc = G1_INF
+    for lo in range(0, len(s), MSM_CHUNK):
+        seg = s[lo : lo + MSM_CHUNK]
+        limbs, (sx, sy) = _pad_pow2(
+            _ints_to_limbs_fast(seg),
+            (px[lo : lo + MSM_CHUNK], py[lo : lo + MSM_CHUNK]),
+        )
+        try:
+            out = msm_mod.msm_device(
+                (jnp.asarray(sx), jnp.asarray(sy)),
+                jnp.asarray(limbs),
+                n_buckets=n_buckets,
+                curve_name="g1",
+            )
+        except Exception:
+            # device fault mid-MSM: redo the whole MSM on the native
+            # CPU backend (a worker fault poisons the client)
+            host = _msm_g1_native(query, s)
+            if host is None:
+                raise
+            return host
+        X = fq_ops.decode(out[0][None])[0]
+        Y = fq_ops.decode(out[1][None])[0]
+        Z = fq_ops.decode(out[2][None])[0]
+        acc = g1_add(acc, (X, Y, Z))
+    return acc
+
+
+def _msm_g2_native(query, scalars: list[int]):
+    """Native multicore CPU Pippenger over a staged G2 query (see
+    _msm_g1_native). Returns a host Jacobian G2 tuple or None if the
+    native library is unavailable."""
+    from ..ops import native_msm
+
+    if native_msm.get_lib() is None:
+        return None
+    aff, valid = query
+    valid = np.asarray(valid).astype(bool)
+    ((x0, x1), (y0, y1)) = aff
+    rinv = pow(1 << (16 * 24), -1, P_MOD)
+    coords = [g1_jax.FQ.from_limbs(np.asarray(t)) for t in (x0, x1, y0, y1)]
+    zero48 = bytes(48)
+    n = len(coords[0])
+    enc = np.empty((n, 192), dtype=np.uint8)
+    for j, vals in enumerate(coords):
+        blob = b"".join(
+            ((v * rinv) % P_MOD).to_bytes(48, "little") if ok else zero48
+            for v, ok in zip(vals, valid)
+        )
+        enc[:, 48 * j : 48 * (j + 1)] = np.frombuffer(blob, np.uint8).reshape(
+            n, 48
+        )
+    return native_msm.msm_g2_cpu(enc, scalars)
 
 
 def _msm_g2_staged(query, scalars: list[int], n_buckets):
@@ -579,40 +688,101 @@ def _msm_g2_staged(query, scalars: list[int], n_buckets):
             if k:
                 acc = g2_add(acc, g2_mul(((a0, a1), (b0, b1), (1, 0)), k))
         return acc
-    limbs, aff = _pad_pow2(_ints_to_limbs_fast(s), aff)
-    aff_dev = jax.tree_util.tree_map(jnp.asarray, aff)
-    out = msm_mod.msm_device(
-        aff_dev, jnp.asarray(limbs), n_buckets=n_buckets, curve_name="g2"
-    )
-    flat = jax.tree_util.tree_map(lambda t: t[None], out)
-    return g2_jax.points_from_device(flat)[0]
+    from ..ops.bls12_381 import G2_INF
+
+    if os.environ.get("FIL_PROOFS_MSM_BACKEND") == "native":
+        out = _msm_g2_native(query, s)
+        if out is not None:
+            return out
+    acc = G2_INF
+    for lo in range(0, len(s), MSM_CHUNK):
+        seg = s[lo : lo + MSM_CHUNK]
+        limbs, seg_aff = _pad_pow2(
+            _ints_to_limbs_fast(seg),
+            jax.tree_util.tree_map(lambda t: t[lo : lo + MSM_CHUNK], aff),
+        )
+        aff_dev = jax.tree_util.tree_map(jnp.asarray, seg_aff)
+        try:
+            out = msm_mod.msm_device(
+                aff_dev,
+                jnp.asarray(limbs),
+                n_buckets=n_buckets,
+                curve_name="g2",
+            )
+        except Exception:
+            host = _msm_g2_native(query, s)
+            if host is None:
+                raise
+            return host
+        flat = jax.tree_util.tree_map(lambda t: t[None], out)
+        acc = g2_add(acc, g2_jax.points_from_device(flat)[0])
+    return acc
 
 
 def prove(
     pk: ProvingKey,
     cs: ConstraintSystem,
     randomness: bytes = b"fil-tpu-prove",
-    n_buckets: int | None = None,
+    n_buckets: int | None = 256,
 ) -> Proof:
+    # n_buckets=256 (c=8): the c=16 bucket-aggregation program ([16,
+    # 65536] roll scans) reproducibly crashes the v5e TPU worker; c=8
+    # is the measured-safe configuration (52.6k pts/s at 2^20).
     """Groth16 prove. Deterministic for fixed `randomness` (the r/s
     blinding factors derive from it), so proofs are byte-reproducible
     under fixed inputs — the BASELINE bit-exactness requirement."""
-    import random as _random
+    import time as _time
 
-    rng = _random.Random(hashlib.sha256(randomness).digest())
-    r = rng.randrange(R)
-    s = rng.randrange(R)
+    def _mark(msg):
+        if os.environ.get("FIL_PROOFS_SETUP_PROGRESS"):
+            print(f"[prove {_time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
     fin = cs.finalize()
     n_in, n_aux, constraints, inputs, aux = fin
     assignment_ordered = inputs + aux
+    _mark(f"finalized ({len(constraints)} constraints)")
     h = _compute_h(fin, assignment_ordered, pk.log_n)
+    _mark("h coefficients done")
+    return prove_from_assignment(
+        pk, inputs, aux, h, randomness=randomness, n_buckets=n_buckets
+    )
+
+
+def prove_from_assignment(
+    pk: ProvingKey,
+    inputs: list[int],
+    aux: list[int],
+    h: list[int],
+    randomness: bytes = b"fil-tpu-prove",
+    n_buckets: int | None = 256,
+) -> Proof:
+    """MSM + assembly half of `prove`, taking the finalized assignment
+    and precomputed h(x) coefficients. Lets big proofs run the QAP/NTT
+    stage and the MSM stage in separate processes (fresh TPU client
+    each — the v5e worker has crashed when both phases' device state
+    coexisted)."""
+    import random as _random
+    import time as _time
+
+    def _mark(msg):
+        if os.environ.get("FIL_PROOFS_SETUP_PROGRESS"):
+            print(f"[prove {_time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+    rng = _random.Random(hashlib.sha256(randomness).digest())
+    r = rng.randrange(R)
+    s = rng.randrange(R)
+    assignment_ordered = inputs + aux
 
     ev_a = _msm_g1_staged(pk.a_query, assignment_ordered, n_buckets)
+    _mark("A commitment done")
     ev_b_g1 = _msm_g1_staged(pk.b_g1_query, assignment_ordered, n_buckets)
+    _mark("B1 commitment done")
     ev_b_g2 = _msm_g2_staged(pk.b_g2_query, assignment_ordered, n_buckets)
+    _mark("B2 commitment done")
     ev_h = _msm_g1_staged(pk.h_query, h, n_buckets)
+    _mark("H commitment done")
     ev_l = _msm_g1_staged(pk.l_query, aux, n_buckets)
+    _mark("L commitment done")
 
     g_a = g1_add(
         g1_add(pk.vk.alpha_g1, ev_a), g1_mul(pk.delta_g1, r)

@@ -38,6 +38,7 @@ POREP_ID = bytes([1] * 32)
 
 GOLDEN_DIR = os.path.join(REPO, "tests", "golden", "seal2k")
 WORK_DIR = os.path.join(REPO, ".cache", "seal2k")
+H_DIR = os.path.join(REPO, ".cache", "seal2k_h")
 
 
 def log(msg: str) -> None:
@@ -100,14 +101,83 @@ def stage_seal(config):
     return p2, c1
 
 
-def stage_prove(config, c1):
-    from crypto3_fil_proofs_tpu.api import seal as api_seal
+def stage_h(config, pp, compound, pk, c1):
+    """Witness synthesis + QAP h(x) via the device NTTs; persist the
+    finalized assignment and h so the MSM stage can run in a FRESH
+    process (the v5e worker crashes when the NTT phase's and the MSM
+    phase's device state coexist in one client)."""
+    import numpy as np
 
+    from crypto3_fil_proofs_tpu.models.porep.stacked.vanilla.params import (
+        PublicInputs,
+        Tau,
+    )
+    from crypto3_fil_proofs_tpu.zk import groth16
+    from crypto3_fil_proofs_tpu.zk.groth16 import (
+        _compute_h,
+        _ints_to_limbs_fast,
+    )
+
+    pub_inputs = PublicInputs(
+        replica_id=c1.replica_id,
+        seed=c1.seed,
+        tau=Tau(comm_d=c1.comm_d, comm_r=c1.comm_r),
+        k=None,
+    )
     t0 = time.time()
-    out = api_seal.seal_commit_phase2(config, c1, PROVER_ID, SECTOR_ID)
-    log(f"C2 (witness synth + Groth16 prove + verify_seal) in {time.time() - t0:.0f}s")
-    assert len(out.proof) == 192 * config.partitions
-    return out
+    cs = compound.adapter.circuit_from_vanilla(
+        pp, pub_inputs, c1.vanilla_proofs[0], 0
+    )
+    bad = cs.which_unsatisfied()
+    assert bad is None, f"circuit unsatisfied: {bad}"
+    expected = compound.adapter.generate_public_inputs(pp, pub_inputs, 0)
+    got = [v for v, i in zip(cs.values, cs.is_input) if i][1:]
+    assert got == expected, "public-input mismatch"
+    log(f"witness circuit synthesized+checked in {time.time() - t0:.0f}s")
+
+    fin = cs.finalize()
+    n_in, n_aux, constraints, inputs, aux = fin
+    t0 = time.time()
+    h = _compute_h(fin, inputs + aux, pk.log_n)
+    log(f"h coefficients in {time.time() - t0:.0f}s")
+    os.makedirs(H_DIR, exist_ok=True)
+    np.save(os.path.join(H_DIR, "inputs.npy"), _ints_to_limbs_fast(inputs))
+    np.save(os.path.join(H_DIR, "aux.npy"), _ints_to_limbs_fast(aux))
+    np.save(os.path.join(H_DIR, "h.npy"), _ints_to_limbs_fast(h))
+    log("assignment + h persisted")
+
+
+def stage_msms(config, pp, compound, pk, c1):
+    """Fresh-process MSM stage: load assignment + h, run the five
+    commitments, assemble the 192 B proof, verify_seal."""
+    import numpy as np
+
+    from crypto3_fil_proofs_tpu.api import seal as api_seal
+    from crypto3_fil_proofs_tpu.zk import groth16
+    from crypto3_fil_proofs_tpu.zk.groth16 import _limbs_to_ints
+
+    inputs = _limbs_to_ints(np.load(os.path.join(H_DIR, "inputs.npy")))
+    aux = _limbs_to_ints(np.load(os.path.join(H_DIR, "aux.npy")))
+    h = _limbs_to_ints(np.load(os.path.join(H_DIR, "h.npy")))
+    t0 = time.time()
+    # partition k=0 randomness, matching CompoundProof.prove/prove_many
+    proof = groth16.prove_from_assignment(
+        pk, inputs, aux, h, randomness=b"fil-tpu-prove" + bytes([0])
+    )
+    log(f"Groth16 commitments+assembly in {time.time() - t0:.0f}s")
+    proof_bytes = proof.to_bytes()
+    assert len(proof_bytes) == 192 * config.partitions
+    t0 = time.time()
+    ok = api_seal.verify_seal(
+        config, c1.comm_r, c1.comm_d, PROVER_ID, SECTOR_ID, TICKET, SEED,
+        proof_bytes,
+    )
+    assert ok, "verify_seal rejected the proof"
+    log(f"verify_seal OK in {time.time() - t0:.0f}s")
+
+    from crypto3_fil_proofs_tpu.types import SealCommitOutput
+
+    return SealCommitOutput(proof=proof_bytes)
 
 
 def save_artifacts(config, p2, c1, out, pk):
@@ -150,15 +220,30 @@ def save_artifacts(config, p2, c1, out, pk):
 def main():
     stage = sys.argv[sys.argv.index("--stage") + 1] if "--stage" in sys.argv else "all"
     t_start = time.time()
+    if stage == "all":
+        # orchestrate the two device phases as separate processes (fresh
+        # TPU client each); both re-derive the deterministic seal state
+        import subprocess
+
+        for sub in ("h", "msms"):
+            rc = subprocess.call(
+                [sys.executable, "-u", os.path.abspath(__file__), "--stage", sub]
+            )
+            assert rc == 0, f"stage {sub} failed"
+        log(f"TOTAL {time.time() - t_start:.0f}s")
+        return
     config, pp, compound, pk = stage_crs()
     if stage == "crs":
         return
     p2, c1 = stage_seal(config)
     if stage == "seal":
         return
-    out = stage_prove(config, c1)
+    if stage == "h":
+        stage_h(config, pp, compound, pk, c1)
+        return
+    out = stage_msms(config, pp, compound, pk, c1)
     save_artifacts(config, p2, c1, out, pk)
-    log(f"TOTAL {time.time() - t_start:.0f}s — proof verifies, {len(out.proof)} bytes")
+    log(f"stage msms done in {time.time() - t_start:.0f}s — proof verifies, {len(out.proof)} bytes")
 
 
 if __name__ == "__main__":

@@ -110,3 +110,46 @@ def test_msm_all_zero_scalars(rng_seed):
     pts = _rand_points(_MSM_N, rng_seed + 2)
     got = msm_mod.msm(pts, [0] * _MSM_N, n_buckets=_MSM_BUCKETS)
     assert got[2] == 0  # infinity
+
+
+def test_native_cpu_msm_matches_naive(rng_seed):
+    """Native multicore Pippenger (ops/native_msm) vs host naive — the
+    bench baseline and the prove() fallback backend must be correct."""
+    from crypto3_fil_proofs_tpu.ops import native_msm
+
+    if native_msm.get_lib() is None:
+        pytest.skip("native MSM unavailable (no cc)")
+    rng = random.Random(rng_seed + 7)
+    n = 512
+    pts = _rand_points(64, rng_seed + 7) * (n // 64)
+    scalars = [rng.randrange(R) for _ in range(n)]
+    scalars[0] = 0
+    scalars[1] = R - 1
+    from crypto3_fil_proofs_tpu.ops.bls12_381 import g1_to_affine
+
+    aff = [g1_to_affine(p) for p in pts]
+    got = native_msm.msm_g1_cpu(aff, scalars)
+    want = g1_msm_naive(pts, scalars)
+    assert g1_eq(got, want)
+
+
+def test_msm_g1_native_staged_matches_naive(rng_seed):
+    """groth16._msm_g1_native (staged-query wrapper: Montgomery decode,
+    infinity masking, byte packing) vs host naive."""
+    from crypto3_fil_proofs_tpu.ops import native_msm
+    from crypto3_fil_proofs_tpu.zk.groth16 import _msm_g1_native
+
+    if native_msm.get_lib() is None:
+        pytest.skip("native MSM unavailable (no cc)")
+    rng = random.Random(rng_seed + 11)
+    n = 256
+    pts = _rand_points(32, rng_seed + 11) * (n // 32)
+    pts[3] = G1_INF  # exercise the valid-mask path
+    scalars = [rng.randrange(R) for _ in range(n)]
+    query = tuple(np.asarray(t) for t in g1.points_to_device(pts))
+    got = _msm_g1_native(query, scalars)
+    want = g1_msm_naive(
+        [p for p, s in zip(pts, scalars)],
+        scalars,
+    )
+    assert g1_eq(got, want)

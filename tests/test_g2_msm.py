@@ -63,3 +63,84 @@ def test_g2_msm_matches_naive(rng_seed):
         acc = term if acc is None else g2_add(acc, term)
     want = acc
     assert g2_eq(got, want)
+
+
+def test_native_cpu_g2_msm_matches_naive(rng_seed):
+    """Native multicore Pippenger G2 (ops/native_msm.msm_g2_cpu) vs host
+    naive — the B2-commitment fallback backend must be correct."""
+    import random
+
+    import numpy as np
+
+    from crypto3_fil_proofs_tpu.ops import native_msm
+    from crypto3_fil_proofs_tpu.ops.bls12_381 import (
+        G2_GEN_X,
+        G2_GEN_Y,
+        R,
+        g2_add,
+        g2_eq,
+        g2_from_affine,
+        g2_mul,
+        g2_to_affine,
+        G2_INF,
+    )
+
+    if native_msm.get_lib() is None:
+        import pytest
+
+        pytest.skip("native MSM unavailable (no cc)")
+    rng = random.Random(rng_seed + 31)
+    gen = g2_from_affine((G2_GEN_X, G2_GEN_Y))
+    n = 96
+    pts = [g2_mul(gen, rng.randrange(1, R)) for _ in range(24)] * (n // 24)
+    pts[2] = G2_INF
+    scalars = [rng.randrange(R) for _ in range(n)]
+    scalars[0] = 0
+    scalars[1] = R - 1
+    aff = [None if g2_eq(p, G2_INF) else g2_to_affine(p) for p in pts]
+    got = native_msm.msm_g2_cpu(aff, scalars)
+    want = G2_INF
+    for p, s in zip(pts, scalars):
+        want = g2_add(want, g2_mul(p, s))
+    assert g2_eq(g2_from_affine(None) if got is None else got, want)
+
+
+def test_msm_g2_native_staged_matches_naive(rng_seed):
+    """groth16._msm_g2_native staged-query wrapper vs host naive."""
+    import random
+
+    import numpy as np
+
+    from crypto3_fil_proofs_tpu.ops import g2_jax, native_msm
+    from crypto3_fil_proofs_tpu.ops.bls12_381 import (
+        G2_GEN_X,
+        G2_GEN_Y,
+        G2_INF,
+        R,
+        g2_add,
+        g2_eq,
+        g2_from_affine,
+        g2_mul,
+    )
+    from crypto3_fil_proofs_tpu.zk.groth16 import _msm_g2_native
+
+    if native_msm.get_lib() is None:
+        import pytest
+
+        pytest.skip("native MSM unavailable (no cc)")
+    rng = random.Random(rng_seed + 37)
+    gen = g2_from_affine((G2_GEN_X, G2_GEN_Y))
+    n = 64
+    pts = [g2_mul(gen, rng.randrange(1, R)) for _ in range(16)] * (n // 16)
+    pts[5] = G2_INF
+    scalars = [rng.randrange(R) for _ in range(n)]
+    aff, valid = g2_jax.points_to_device(pts)
+    query = (
+        tuple(tuple(np.asarray(c) for c in pair) for pair in aff),
+        np.asarray(valid),
+    )
+    got = _msm_g2_native(query, scalars)
+    want = G2_INF
+    for p, s in zip(pts, scalars):
+        want = g2_add(want, g2_mul(p, s))
+    assert g2_eq(got, want)

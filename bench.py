@@ -33,6 +33,7 @@ CPU_LOGN = int(os.environ.get("FIL_PROOFS_BENCH_CPU_LOGN", "18"))
 def _bench_poseidon():
     import jax
 
+    from crypto3_fil_proofs_tpu.ops.devsync import fetch_sync
     from crypto3_fil_proofs_tpu.ops.fr_limbs import FR
     from crypto3_fil_proofs_tpu.ops.poseidon_jax import hash_level_mont
 
@@ -41,13 +42,16 @@ def _bench_poseidon():
     raw = rng.integers(0, 1 << 16, size=(batch * 8, FR.n), dtype=np.uint32)
     nodes = jax.numpy.asarray(raw)
 
-    fn = jax.jit(lambda x: hash_level_mont(x, 8))
-    fn(nodes).block_until_ready()  # compile
+    # chain iterations (output tiled back to input size) so the device
+    # cannot memoize identical calls; fetch-sync is the hard barrier
+    fn = jax.jit(lambda x: jax.numpy.tile(hash_level_mont(x, 8), (8, 1)))
+    state = fn(nodes)
+    fetch_sync(state)  # compile
     t0 = time.perf_counter()
     iters = 4
     for _ in range(iters):
-        out = fn(nodes)
-    out.block_until_ready()
+        state = fn(state)
+    fetch_sync(state)
     dt = (time.perf_counter() - t0) / iters
     return batch / dt
 
@@ -79,19 +83,32 @@ def _bench_native_cpu_msm(n: int) -> float:
 
 
 def _bench_msm(logn: int):
+    """G1 Pippenger rate via the fused Pallas point kernels (falls back
+    to the XLA path off-TPU; ops/pallas/msm.py)."""
     import jax
 
     from crypto3_fil_proofs_tpu.ops import msm as msm_mod
 
+    from crypto3_fil_proofs_tpu.ops.devsync import fetch_sync
+
     n = 1 << logn
     points, scalars = msm_mod.random_bench_input(n, seed=0)
-    fn = msm_mod.msm_device  # stages are individually jitted
-    jax.block_until_ready(fn(points, scalars))
+    if jax.default_backend() != "cpu":
+        import jax.numpy as jnp
+
+        from crypto3_fil_proofs_tpu.ops.pallas.msm import msm_pallas_stages
+
+        px, py = (jnp.asarray(t).T for t in points)
+        fn = lambda s: msm_pallas_stages(px, py, s, n_buckets=1 << 16)
+    else:
+        fn = lambda s: msm_mod.msm_device(points, s)
+    fetch_sync(fn(scalars))  # compile + run
     t0 = time.perf_counter()
-    iters = 3
-    for _ in range(iters):
-        out = fn(points, scalars)
-    jax.block_until_ready(out)
+    iters = 2
+    for i in range(iters):
+        # fresh scalar buffer each call defeats remote-call memoization;
+        # fetch_sync is the only reliable barrier over the tunnel
+        fetch_sync(fn(scalars.at[0, 0].set(i)))
     dt = (time.perf_counter() - t0) / iters
     return n / dt
 

@@ -194,6 +194,75 @@ def _add_kernel(x1_ref, y1_ref, z1_ref, x2_ref, y2_ref, z2_ref,
     oz_ref[:] = Z
 
 
+def _madd_nodbl_kernel(x1_ref, y1_ref, z1_ref, x2_ref, y2_ref, valid_ref,
+                       ox_ref, oy_ref, oz_ref, same_ref, scratch):
+    """madd without the doubling path: 11 montmuls instead of 18.
+
+    Lanes where P == Q (H == 0, r == 0) are passed through UNCHANGED and
+    flagged in same_ref; the caller doubles those lanes out of band
+    (collisions are rare for distinct-base MSMs, so the fixup runs only
+    on passes that actually hit one — see msm.py `_bucket_accumulate`).
+    """
+    X1, Y1, Z1 = x1_ref[:], y1_ref[:], z1_ref[:]
+    x2, y2 = x2_ref[:], y2_ref[:]
+    valid = valid_ref[:] != 0
+
+    Z1Z1 = _mul(scratch, Z1, Z1)
+    U2 = _mul(scratch, x2, Z1Z1)
+    S2 = _mul(scratch, _mul(scratch, y2, Z1), Z1Z1)
+    H = _sub_tiles(U2, X1, P_LIMBS, N_LIMBS)
+    HH = _mul(scratch, H, H)
+    I = _dbl(_dbl(HH))
+    J = _mul(scratch, H, I)
+    r = _dbl(_sub_tiles(S2, Y1, P_LIMBS, N_LIMBS))
+    V = _mul(scratch, X1, I)
+    X3 = _sub_tiles(
+        _sub_tiles(_mul(scratch, r, r), J, P_LIMBS, N_LIMBS),
+        _dbl(V), P_LIMBS, N_LIMBS,
+    )
+    Y3 = _sub_tiles(
+        _mul(scratch, r, _sub_tiles(V, X3, P_LIMBS, N_LIMBS)),
+        _dbl(_mul(scratch, Y1, J)), P_LIMBS, N_LIMBS,
+    )
+    zh = _add_tiles(Z1, H, P_LIMBS, N_LIMBS)
+    Z3 = _sub_tiles(
+        _sub_tiles(_mul(scratch, zh, zh), Z1Z1, P_LIMBS, N_LIMBS),
+        HH, P_LIMBS, N_LIMBS,
+    )
+
+    h_zero = _is_zero(H)
+    r_zero = _is_zero(r)
+    inf1 = _is_zero(Z1)
+
+    same = h_zero & r_zero & ~inf1 & valid
+    neg = h_zero & ~r_zero & ~inf1
+
+    one = jnp.stack(
+        [jnp.full_like(X1[0], jnp.uint32(v)) for v in _ONE_MONT], axis=0
+    )
+    X, Y, Z = X3, Y3, Z3
+    Z = jnp.where(neg[None], jnp.zeros_like(Z), Z)
+    X = _sel(inf1, x2, X)
+    Y = _sel(inf1, y2, Y)
+    Z = _sel(inf1, one, Z)
+    keep = ~valid | same
+    ox_ref[:] = _sel(keep, X1, X)
+    oy_ref[:] = _sel(keep, Y1, Y)
+    oz_ref[:] = _sel(keep, Z1, Z)
+    same_ref[:] = same.astype(jnp.uint32)
+
+
+def _dbl_kernel(x_ref, y_ref, z_ref, mask_ref, ox_ref, oy_ref, oz_ref,
+                scratch):
+    """Masked in-place doubling (the madd_nodbl collision fixup)."""
+    X, Y, Z = x_ref[:], y_ref[:], z_ref[:]
+    m = mask_ref[:] != 0
+    dX, dY, dZ = _double_tiles(X, Y, Z, scratch)
+    ox_ref[:] = _sel(m, dX, X)
+    oy_ref[:] = _sel(m, dY, Y)
+    oz_ref[:] = _sel(m, dZ, Z)
+
+
 def _coord_spec():
     return pl.BlockSpec(
         (N_LIMBS, G1_ROWS, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
@@ -230,6 +299,55 @@ def madd_soa(acc, q, valid):
         scratch_shapes=[pltpu.VMEM((N_LIMBS, G1_ROWS, 128), jnp.uint32)],
         interpret=jax.default_backend() == "cpu",
     )(r3(X), r3(Y), r3(Z), r3(x2), r3(y2), vmask)
+    return tuple(t.reshape(N_LIMBS, N) for t in out)
+
+
+@jax.jit
+def madd_nodbl_soa(acc, q, valid):
+    """Fast mixed add (no doubling path). Returns (X, Y, Z, same) where
+    `same` [N] uint32 flags P==Q lanes that were passed through and must
+    be doubled by the caller (dbl_soa). ~40% fewer montmuls than
+    madd_soa; bit-identical on all non-collision lanes."""
+    X, Y, Z = acc
+    x2, y2 = q
+    N = X.shape[1]
+    assert N % G1_BLOCK == 0
+    r3 = lambda t: t.reshape(N_LIMBS, N // 128, 128)
+    vmask = valid.astype(jnp.uint32).reshape(N // 128, 128)
+    cs, ms = _coord_spec(), _mask_spec()
+    out = pl.pallas_call(
+        _madd_nodbl_kernel,
+        out_shape=(_shape3(N),) * 3
+        + (jax.ShapeDtypeStruct((N // 128, 128), jnp.uint32),),
+        grid=(N // G1_BLOCK,),
+        in_specs=[cs, cs, cs, cs, cs, ms],
+        out_specs=(cs, cs, cs, ms),
+        scratch_shapes=[pltpu.VMEM((N_LIMBS, G1_ROWS, 128), jnp.uint32)],
+        interpret=jax.default_backend() == "cpu",
+    )(r3(X), r3(Y), r3(Z), r3(x2), r3(y2), vmask)
+    return tuple(t.reshape(N_LIMBS, N) for t in out[:3]) + (
+        out[3].reshape(N),
+    )
+
+
+@jax.jit
+def dbl_soa(p, mask):
+    """Double the lanes where mask != 0, pass the rest through."""
+    X, Y, Z = p
+    N = X.shape[1]
+    assert N % G1_BLOCK == 0
+    r3 = lambda t: t.reshape(N_LIMBS, N // 128, 128)
+    mmask = mask.astype(jnp.uint32).reshape(N // 128, 128)
+    cs, ms = _coord_spec(), _mask_spec()
+    out = pl.pallas_call(
+        _dbl_kernel,
+        out_shape=(_shape3(N),) * 3,
+        grid=(N // G1_BLOCK,),
+        in_specs=[cs, cs, cs, ms],
+        out_specs=(cs, cs, cs),
+        scratch_shapes=[pltpu.VMEM((N_LIMBS, G1_ROWS, 128), jnp.uint32)],
+        interpret=jax.default_backend() == "cpu",
+    )(r3(X), r3(Y), r3(Z), mmask)
     return tuple(t.reshape(N_LIMBS, N) for t in out)
 
 

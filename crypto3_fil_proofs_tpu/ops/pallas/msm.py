@@ -58,7 +58,19 @@ def _bucket_accumulate_soa(px, py, digits, n_buckets):
         valid = (s < counts) & (bucket_ids[None, :] != 0)
         point_idx = jnp.take_along_axis(order, idx, axis=1).reshape(-1)
         q = (px[:, point_idx], py[:, point_idx])
-        acc = pg1.madd_soa(acc, q, valid.reshape(-1).astype(jnp.uint32))
+        # fast madd (no doubling path, 11 vs 18 montmuls); P==Q lanes
+        # are flagged and doubled out of band only on passes that hit
+        # one (rare for distinct bases)
+        x, y, z, same = pg1.madd_nodbl_soa(
+            acc, q, valid.reshape(-1).astype(jnp.uint32)
+        )
+        acc = jax.lax.cond(
+            jnp.any(same != 0),
+            lambda a, m: pg1.dbl_soa(a, m),
+            lambda a, m: a,
+            (x, y, z),
+            same,
+        )
         return s + 1, acc
 
     def cond(state):

@@ -1,0 +1,101 @@
+"""Scaled-sector seal validation: PC1 -> PC2 -> C1 -> unseal roundtrip.
+
+VERDICT r1 missing #9: no run above 2 KiB had validated the larger
+sealing paths ((8,0,0)/(8,2,0) tree shapes, LevelCache/replica interop,
+streamed labeling) at scale. This drives the full vanilla pipeline —
+add_piece, pre-commit phases, commit phase 1 (vanilla proofs +
+verify_all_partitions), and an unseal_range data roundtrip — at an
+arbitrary registered sector size (reference api/seal.hpp seal flow,
+stacked/vanilla/proof.hpp:268-295 extract).
+
+Groth16 commit phase 2 is exercised at 2 KiB by scripts/seal2k_e2e.py;
+this script is about the storage/tree/labeling stack at scale.
+
+Run:  python scripts/seal_scale.py [sector_bytes]    (default 8 MiB)
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault(
+    "FIL_PROOFS_PARAMETER_CACHE",
+    os.path.join(REPO, ".cache", "filecoin-proof-parameters"),
+)
+sys.path.insert(0, REPO)
+
+PROVER_ID = bytes([9] * 32)
+TICKET = bytes([3] * 32)
+SEED = bytes([7] * 32)
+SECTOR_ID = 5
+POREP_ID = bytes([2] * 32)
+
+
+def log(msg: str) -> None:
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def main() -> None:
+    sector_size = int(sys.argv[1]) if len(sys.argv) > 1 else 8 * 1024 * 1024
+
+    from crypto3_fil_proofs_tpu.api import mod as api_mod
+    from crypto3_fil_proofs_tpu.api import seal as api_seal
+    from crypto3_fil_proofs_tpu.constants import SECTOR_SHAPES
+    from crypto3_fil_proofs_tpu.core.fr32 import to_unpadded_bytes
+    from crypto3_fil_proofs_tpu.types import PoRepConfig
+
+    config = PoRepConfig.for_sector_size(sector_size, POREP_ID)
+    shape = SECTOR_SHAPES[sector_size]
+    log(f"sector={sector_size} shape={shape} partitions={config.partitions}")
+
+    work = os.path.join(REPO, ".cache", f"seal_scale_{sector_size}")
+    import shutil
+
+    if os.path.isdir(work):
+        shutil.rmtree(work)
+    os.makedirs(work)
+    staged, sealed, cache = (
+        os.path.join(work, n) for n in ("staged", "sealed", "cache")
+    )
+
+    piece_size = to_unpadded_bytes(sector_size)
+    piece = bytes(
+        (i * 37 + 11) % 256 for i in range(min(piece_size, 1 << 16))
+    ) * ((piece_size + (1 << 16) - 1) // (1 << 16))
+    piece = piece[:piece_size]
+    t0 = time.time()
+    info, _ = api_mod.add_piece(piece, staged, piece_size, [])
+    log(f"add_piece {time.time()-t0:.1f}s comm_p={info.commitment.hex()[:16]}")
+
+    t0 = time.time()
+    p1 = api_seal.seal_pre_commit_phase1(
+        config, cache, staged, sealed, PROVER_ID, SECTOR_ID, TICKET, [info]
+    )
+    log(f"PC1 {time.time()-t0:.1f}s")
+    t0 = time.time()
+    p2 = api_seal.seal_pre_commit_phase2(config, p1, cache, sealed)
+    log(f"PC2 {time.time()-t0:.1f}s comm_r={p2.comm_r.hex()[:16]}")
+
+    t0 = time.time()
+    c1 = api_seal.seal_commit_phase1(
+        config, cache, sealed, PROVER_ID, SECTOR_ID, TICKET, SEED, p2, [info]
+    )
+    log(
+        f"C1 {time.time()-t0:.1f}s vanilla partitions="
+        f"{len(c1.vanilla_proofs)} (verified)"
+    )
+
+    t0 = time.time()
+    got = api_mod.unseal_range(
+        config, cache, sealed, PROVER_ID, SECTOR_ID, p2.comm_d, TICKET,
+        0, 4096,
+    )
+    assert got == piece[:4096], "unseal_range mismatch vs original piece"
+    log(f"unseal_range roundtrip OK {time.time()-t0:.1f}s")
+    log("PASS")
+
+
+if __name__ == "__main__":
+    main()

@@ -35,16 +35,25 @@ def _bench_poseidon():
 
     from crypto3_fil_proofs_tpu.ops.devsync import fetch_sync
     from crypto3_fil_proofs_tpu.ops.fr_limbs import FR
-    from crypto3_fil_proofs_tpu.ops.poseidon_jax import hash_level_mont
 
-    batch = 1 << 15  # 32768 oct hashes per launch
+    if jax.default_backend() != "cpu":
+        # fused Pallas tree-builder kernel (sparse-MDS partial rounds)
+        from crypto3_fil_proofs_tpu.ops.pallas.poseidon import (
+            hash_level_packed as hash_level,
+        )
+    else:
+        from crypto3_fil_proofs_tpu.ops.poseidon_jax import (
+            hash_level_mont as hash_level,
+        )
+
+    batch = 1 << 17
     rng = np.random.default_rng(0)
     raw = rng.integers(0, 1 << 16, size=(batch * 8, FR.n), dtype=np.uint32)
     nodes = jax.numpy.asarray(raw)
 
     # chain iterations (output tiled back to input size) so the device
     # cannot memoize identical calls; fetch-sync is the hard barrier
-    fn = jax.jit(lambda x: jax.numpy.tile(hash_level_mont(x, 8), (8, 1)))
+    fn = jax.jit(lambda x: jax.numpy.tile(hash_level(x, 8), (8, 1)))
     state = fn(nodes)
     fetch_sync(state)  # compile
     t0 = time.perf_counter()

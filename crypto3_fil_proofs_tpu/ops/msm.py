@@ -239,7 +239,10 @@ def random_bench_input(n: int, seed: int = 0, distinct: int = 1024):
     px = jnp.tile(px, (reps, 1))[:n]
     py = jnp.tile(py, (reps, 1))[:n]
     limbs = rng.integers(0, 1 << 16, size=(n, 16), dtype=np.uint32)
-    limbs[:, 15] &= 0x3FFF  # < 2^254 < R
+    # match the production digit distribution (scalars uniform mod r):
+    # top 16-bit window ranges over [0, 0x73ed] — the modulus skew the
+    # top-window replica split in pallas/msm.py is sized for
+    limbs[:, 15] %= 0x73EE
     return (px, py), jnp.asarray(limbs)
 
 

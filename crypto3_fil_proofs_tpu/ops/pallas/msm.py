@@ -1,14 +1,17 @@
-"""Pippenger MSM driven by the fused Pallas point kernels.
+"""Pippenger MSM driven by the fused Pallas point kernels (G1 and G2).
 
 Same algorithm as ops/msm.py (sorted-bucket rank passes, suffix-scan
 aggregation, Horner window combine — SURVEY §2.9 P5) but the point
-arithmetic runs through ops/pallas/g1.py fused kernels, which keep all
-~40 per-add intermediates in VMEM instead of HBM. Points and
-accumulators are SoA ([24, N] limb-major), so kernel blocks are
+arithmetic runs through ops/pallas/{g1,g2}.py fused kernels, which keep
+all per-add intermediates in VMEM instead of HBM. Points and
+accumulators are SoA ([24, N] limb planes), so kernel blocks are
 contiguous and the per-pass gather is one axis-1 take.
 
 Scalars/digit handling, sorting and scheduling stay at the XLA level —
-they are integer ops XLA already does well.
+they are integer ops XLA already does well. The curve enters only
+through a small adapter (plane pytree + kernel entry points), so the
+G2 MSM (Groth16 B commitment, the slowest per-partition stage) shares
+every line of the scheduling logic.
 """
 from __future__ import annotations
 
@@ -21,21 +24,80 @@ import numpy as np
 from ..fr_limbs import FQ
 from ..msm import _reslice_digits
 from . import g1 as pg1
+from . import g2 as pg2
 
 N_LIMBS = FQ.n
 
 
-def _zeros_acc(m):
-    z = jnp.zeros((N_LIMBS, m), dtype=jnp.uint32)
-    one = jnp.asarray(
-        np.array(pg1._ONE_MONT, dtype=np.uint32)[:, None]
-    ) * jnp.ones((1, m), jnp.uint32)
-    return (one, one, z)
+def _tmap(f, *trees):
+    return jax.tree_util.tree_map(f, *trees)
 
 
-def _bucket_accumulate_soa(px, py, digits, n_buckets):
+class _G1Ops:
+    """Adapter: acc pytree (X, Y, Z), affine q (x, y), planes [24, N]."""
+
+    block = pg1.G1_BLOCK
+    name = "g1"
+
+    @staticmethod
+    def zeros(m):
+        z = jnp.zeros((N_LIMBS, m), dtype=jnp.uint32)
+        one = jnp.asarray(
+            np.array(pg1._ONE_MONT, dtype=np.uint32)[:, None]
+        ) * jnp.ones((1, m), jnp.uint32)
+        return (one, one, z)
+
+    @staticmethod
+    def gather(points, idx):
+        px, py = points
+        return (px[:, idx], py[:, idx])
+
+    @staticmethod
+    def madd_split(acc, q, valid):
+        x, y, z, same = pg1.madd_nodbl_soa(acc, q, valid)
+        return (x, y, z), same
+
+    dbl = staticmethod(pg1.dbl_soa)
+    add = staticmethod(pg1.add_soa)
+
+    @staticmethod
+    def zero_z(acc, keep):
+        """Zero the Z plane(s) on lanes where keep is False -> infinity."""
+        x, y, z = acc
+        return (x, y, jnp.where(keep[None, :], z, 0))
+
+
+class _G2Ops:
+    """acc pytree ((X0,X1),(Y0,Y1),(Z0,Z1)); q ((x0,x1),(y0,y1))."""
+
+    block = pg2.G2_BLOCK
+    name = "g2"
+
+    @staticmethod
+    def zeros(m):
+        z = jnp.zeros((N_LIMBS, m), dtype=jnp.uint32)
+        one = jnp.asarray(
+            np.array(pg2._ONE_MONT, dtype=np.uint32)[:, None]
+        ) * jnp.ones((1, m), jnp.uint32)
+        return ((one, z), (one, z), (z, z))
+
+    @staticmethod
+    def gather(points, idx):
+        return _tmap(lambda p: p[:, idx], points)
+
+    madd_split = staticmethod(pg2.madd_nodbl_soa)
+    dbl = staticmethod(pg2.dbl_soa)
+    add = staticmethod(pg2.add_soa)
+
+    @staticmethod
+    def zero_z(acc, keep):
+        x, y, z = acc
+        return (x, y, _tmap(lambda t: jnp.where(keep[None, :], t, 0), z))
+
+
+def _bucket_accumulate_soa(ops, points, digits, n_buckets):
     """Bucket sums via rank passes. digits [W, N] uint32. Returns SoA
-    accumulator with flattened [W * B] lane axis."""
+    accumulator pytree with flattened [W * B] lane axis."""
     W, N = digits.shape
     B = n_buckets
     order = jnp.argsort(digits, axis=1)
@@ -50,25 +112,25 @@ def _bucket_accumulate_soa(px, py, digits, n_buckets):
     counts = ends - starts
     max_count = jnp.max(jnp.where(bucket_ids[None, :] == 0, 0, counts))
 
-    acc = _zeros_acc(W * B)
+    acc = ops.zeros(W * B)
 
     def body(state):
         s, acc = state
         idx = jnp.clip(starts + s, 0, N - 1)
         valid = (s < counts) & (bucket_ids[None, :] != 0)
         point_idx = jnp.take_along_axis(order, idx, axis=1).reshape(-1)
-        q = (px[:, point_idx], py[:, point_idx])
-        # fast madd (no doubling path, 11 vs 18 montmuls); P==Q lanes
-        # are flagged and doubled out of band only on passes that hit
-        # one (rare for distinct bases)
-        x, y, z, same = pg1.madd_nodbl_soa(
+        q = ops.gather(points, point_idx)
+        # fast madd (no doubling path); P==Q lanes are flagged and
+        # doubled out of band only on passes that hit one (rare for
+        # distinct bases)
+        new_acc, same = ops.madd_split(
             acc, q, valid.reshape(-1).astype(jnp.uint32)
         )
         acc = jax.lax.cond(
             jnp.any(same != 0),
-            lambda a, m: pg1.dbl_soa(a, m),
+            lambda a, m: ops.dbl(a, m),
             lambda a, m: a,
-            (x, y, z),
+            new_acc,
             same,
         )
         return s + 1, acc
@@ -80,30 +142,26 @@ def _bucket_accumulate_soa(px, py, digits, n_buckets):
     return acc
 
 
-def _aggregate_soa(acc, W, B):
+def _aggregate_soa(ops, acc, W, B):
     """sum_b b * S_b per window (suffix scan + prefix reduce), acc SoA
-    with [W * B] lanes. Returns SoA with [W] lanes (padded to a block)."""
+    pytree with [W * B] lanes. Returns pytree with [W] lanes."""
     pos = jnp.arange(B)
-
-    def reshape4(t):
-        return t.reshape(N_LIMBS, W, B)
-
-    def flat(t):
-        return t.reshape(N_LIMBS, W * B)
 
     def shift_add(state, i, direction):
         d = jnp.int32(1) << i
-        shifted = tuple(
-            flat(jnp.roll(reshape4(t), -direction * d, axis=2)) for t in state
+        shifted = _tmap(
+            lambda t: jnp.roll(
+                t.reshape(N_LIMBS, W, B), -direction * d, axis=2
+            ).reshape(N_LIMBS, W * B),
+            state,
         )
         if direction > 0:
             in_range = pos + d < B
         else:
             in_range = pos - d >= 0
         mask = jnp.broadcast_to(in_range[None, :], (W, B)).reshape(-1)
-        sx, sy, sz = shifted
-        sz = jnp.where(mask[None, :], sz, 0)
-        return pg1.add_soa(state, (sx, sy, sz))
+        shifted = ops.zero_z(shifted, mask)
+        return ops.add(state, shifted)
 
     log_b = B.bit_length() - 1
     state = acc
@@ -112,47 +170,216 @@ def _aggregate_soa(acc, W, B):
     # drop k=0, then prefix-scan leftward; lane B-1 of each window holds
     # sum_{k>=1} suffix_k
     keep = jnp.broadcast_to((pos >= 1)[None, :], (W, B)).reshape(-1)
-    X, Y, Z = state
-    Z = jnp.where(keep[None, :], Z, 0)
-    state = (X, Y, Z)
+    state = ops.zero_z(state, keep)
     for i in range(log_b):
         state = shift_add(state, i, -1)
-    return tuple(t.reshape(N_LIMBS, W, B)[:, :, B - 1] for t in state)
+    return _tmap(
+        lambda t: t.reshape(N_LIMBS, W, B)[:, :, B - 1], state
+    )
+
+
+# Scalars are uniform mod r, and r/2^255 ~ 0.452: the TOP c-bit window
+# only ranges over ~45% of [0, 2^c), so its buckets fill ~2.2x denser
+# than every other window's and the rank-pass while_loop runs ~2-3x
+# more trips with 15/16 windows idle (measured: max bucket count 325
+# vs ~100 at 2^22/c=16). Splitting the top window across R replica
+# bucket spaces (point i -> replica i mod R) re-equalizes the max
+# count; the R replica totals are summed back into window W-1 on the
+# host before the Horner combine.
+TOP_REPLICAS = 4
+
+
+def _stages(ops, points, scalars, n_buckets):
+    digits = _reslice_digits(scalars, n_buckets).astype(jnp.uint32)
+    W = digits.shape[0]
+    if W > 1:
+        lane = jnp.arange(digits.shape[1], dtype=jnp.uint32) % TOP_REPLICAS
+        reps = jnp.stack(
+            [
+                jnp.where(lane == j, digits[-1], 0)
+                for j in range(TOP_REPLICAS)
+            ]
+        )
+        digits = jnp.concatenate([digits[:-1], reps])
+    W_ext = digits.shape[0]
+    # dead all-zero windows keep W*B a multiple of the point-kernel
+    # block (they cost no rank passes and are sliced off the totals)
+    w_pad = 0
+    while ((W_ext + w_pad) * n_buckets) % ops.block:
+        w_pad += 1
+    if w_pad:
+        digits = jnp.concatenate(
+            [digits, jnp.zeros((w_pad, digits.shape[1]), jnp.uint32)]
+        )
+    acc = _bucket_accumulate_soa(ops, points, digits, n_buckets)
+    totals = _aggregate_soa(ops, acc, digits.shape[0], n_buckets)
+    return _tmap(lambda t: t[:, :W_ext], totals)
 
 
 @functools.partial(jax.jit, static_argnames=("n_buckets",))
 def msm_pallas_stages(px, py, scalars, n_buckets=1 << 16):
-    """Bucket accumulation + aggregation on device. Returns per-window
-    totals as SoA [24, W] Jacobian (Montgomery)."""
-    digits = _reslice_digits(scalars, n_buckets).astype(jnp.uint32)
-    W = digits.shape[0]
-    acc = _bucket_accumulate_soa(px, py, digits, n_buckets)
-    return _aggregate_soa(acc, W, n_buckets)
+    """G1 bucket accumulation + aggregation on device. Returns
+    per-window totals as SoA [24, W + TOP_REPLICAS - 1] Jacobian
+    (Montgomery); the last TOP_REPLICAS lanes are partial sums of
+    window W-1."""
+    return _stages(_G1Ops, (px, py), scalars, n_buckets)
+
+
+@functools.partial(jax.jit, static_argnames=("n_buckets",))
+def msm_pallas_stages_g2(points, scalars, n_buckets=1 << 16):
+    """G2 variant: points ((x0,x1),(y0,y1)) planes [24, N]."""
+    return _stages(_G2Ops, points, scalars, n_buckets)
+
+
+def _sum_points(ops, pts_jac):
+    """Tree-reduce a Jacobian SoA pytree down to one kernel block by
+    repeated halving (contiguous adds — no gathers, no buckets). The
+    Groth16 prover uses this for the scalar==1 density class: witness
+    assignments are mostly bits, and bit-heavy scalars degenerate the
+    bucket rank passes (bucket 1 holds ~N/2 points -> ~N/2 while_loop
+    trips; the run that exposed this crashed the v5e worker). Mirrors
+    bellperson's density-map handling of 0/1 scalars."""
+    N = pts_jac[0].shape[1] if ops is _G1Ops else pts_jac[0][0].shape[1]
+    while N > ops.block:
+        half = N // 2
+        a = _tmap(lambda t: t[:, :half], pts_jac)
+        b = _tmap(lambda t: t[:, half:], pts_jac)
+        pts_jac = ops.add(a, b)
+        N = half
+    return pts_jac
+
+
+def sum_points_g1(px_rows, py_rows):
+    """Sum of affine G1 points ([n, 24] Montgomery rows). Returns a
+    host Jacobian int tuple."""
+    from ..bls12_381 import G1_INF, g1_add
+    from ..fr_limbs import fq_ops
+
+    n = px_rows.shape[0]
+    if n == 0:
+        return G1_INF
+    N = max(pg1.G1_BLOCK, 1 << (n - 1).bit_length())
+    z = np.zeros((N_LIMBS, N), np.uint32)
+    one = np.array(pg1._ONE_MONT, np.uint32)[:, None] * np.ones(
+        (1, N), np.uint32
+    )
+    x = np.zeros((N_LIMBS, N), np.uint32)
+    y = np.zeros((N_LIMBS, N), np.uint32)
+    x[:, :n] = np.asarray(px_rows).T
+    y[:, :n] = np.asarray(py_rows).T
+    zz = z.copy()
+    zz[:, :n] = one[:, :n]  # z=1 real lanes, z=0 padding (infinity)
+    out = _sum_points(
+        _G1Ops, (jnp.asarray(x), jnp.asarray(y), jnp.asarray(zz))
+    )
+    xs = fq_ops.decode(np.asarray(out[0]).T)
+    ys = fq_ops.decode(np.asarray(out[1]).T)
+    zs = fq_ops.decode(np.asarray(out[2]).T)
+    acc = G1_INF
+    for X, Y, Z in zip(xs, ys, zs):
+        if Z != 0:
+            acc = g1_add(acc, (X, Y, Z))
+    return acc
+
+
+def sum_points_g2(aff_rows):
+    """Sum of affine G2 points (((x0,x1),(y0,y1)) [n, 24] rows)."""
+    from ..bls12_381 import G2_INF, g2_add
+    from ..fr_limbs import fq_ops
+
+    n = aff_rows[0][0].shape[0]
+    if n == 0:
+        return G2_INF
+    N = max(pg2.G2_BLOCK, 1 << (n - 1).bit_length())
+
+    def plane(rows):
+        p = np.zeros((N_LIMBS, N), np.uint32)
+        p[:, :n] = np.asarray(rows).T
+        return jnp.asarray(p)
+
+    one = np.array(pg2._ONE_MONT, np.uint32)[:, None] * np.ones(
+        (1, N), np.uint32
+    )
+    one[:, n:] = 0
+    zero = jnp.zeros((N_LIMBS, N), jnp.uint32)
+    pts = (
+        (plane(aff_rows[0][0]), plane(aff_rows[0][1])),
+        (plane(aff_rows[1][0]), plane(aff_rows[1][1])),
+        (jnp.asarray(one), zero),
+    )
+    out = _sum_points(_G2Ops, pts)
+    dec = [[fq_ops.decode(np.asarray(p).T) for p in pair] for pair in out]
+    acc = G2_INF
+    for i in range(out[0][0].shape[1]):
+        z = (dec[2][0][i], dec[2][1][i])
+        if z != (0, 0):
+            acc = g2_add(
+                acc,
+                ((dec[0][0][i], dec[0][1][i]),
+                 (dec[1][0][i], dec[1][1][i]), z),
+            )
+    return acc
+
+
+def _combine_host(pts, c, add_fn, inf):
+    """Horner window combine over host points (replica fold included)."""
+    if len(pts) > 1:
+        W = len(pts) - TOP_REPLICAS + 1
+        top = pts[W - 1]
+        for p in pts[W:]:
+            top = add_fn(top, p)
+        pts = pts[: W - 1] + [top]
+    res = inf
+    for w in range(len(pts) - 1, -1, -1):
+        if w != len(pts) - 1:
+            for _ in range(c):
+                res = add_fn(res, res)
+        res = add_fn(res, pts[w])
+    return res
 
 
 def msm_pallas(points_packed, scalars, n_buckets: int = 1 << 16):
-    """Full MSM. points_packed: (px [N, 24], py [N, 24]) Montgomery
+    """Full G1 MSM. points_packed: (px [N, 24], py [N, 24]) Montgomery
     affine (ops/g1_jax.points_to_device layout); scalars [N, 16] uint32
     plain limbs. Returns one host-side Jacobian int tuple.
 
-    The O(B + W) tail (window combine) runs on the host — 16 window
+    The O(B + W) tail (window combine) runs on the host — a few window
     totals and c doublings are negligible next to the O(N*W) passes.
     """
-    from ...ops.bls12_381 import G1_INF, g1_add
-    from ...ops.fr_limbs import fq_ops
+    from ..bls12_381 import G1_INF, g1_add
+    from ..fr_limbs import fq_ops
 
     px, py = points_packed
     totals = msm_pallas_stages(px.T, py.T, scalars, n_buckets)
     c = int(n_buckets).bit_length() - 1
-    W = totals[0].shape[1]
     xs = fq_ops.decode(totals[0].T)
     ys = fq_ops.decode(totals[1].T)
     zs = fq_ops.decode(totals[2].T)
-    res = G1_INF
-    for w in range(W - 1, -1, -1):
-        if w != W - 1:
-            for _ in range(c):
-                res = g1_add(res, res)
-        if zs[w] != 0:
-            res = g1_add(res, (xs[w], ys[w], zs[w]))
-    return res
+    pts = [
+        (x, y, z) if z != 0 else G1_INF for x, y, z in zip(xs, ys, zs)
+    ]
+    return _combine_host(pts, c, g1_add, G1_INF)
+
+
+def msm_pallas_g2(points_affine, scalars, n_buckets: int = 1 << 16):
+    """Full G2 MSM. points_affine: ((x0,x1),(y0,y1)) each [N, 24]
+    Montgomery (ops/g2_jax.points_to_device layout, transposed here);
+    scalars [N, 16] uint32 plain limbs. Returns a host Jacobian point
+    over Fq2 int pairs."""
+    from ..bls12_381 import G2_INF, g2_add
+    from ..fr_limbs import fq_ops
+
+    pts_soa = _tmap(lambda t: jnp.asarray(t).T, points_affine)
+    totals = msm_pallas_stages_g2(pts_soa, scalars, n_buckets)
+    c = int(n_buckets).bit_length() - 1
+    dec = [
+        [fq_ops.decode(plane.T) for plane in pair] for pair in totals
+    ]
+    W_ext = len(dec[0][0])
+    pts = []
+    for w in range(W_ext):
+        x = (dec[0][0][w], dec[0][1][w])
+        y = (dec[1][0][w], dec[1][1][w])
+        z = (dec[2][0][w], dec[2][1][w])
+        pts.append((x, y, z) if z != (0, 0) else G2_INF)
+    return _combine_host(pts, c, g2_add, G2_INF)

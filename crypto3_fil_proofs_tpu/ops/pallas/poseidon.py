@@ -71,6 +71,42 @@ def _montmul_val_ref(a, b_ref):
     return _sub_if_ge(out)
 
 
+def _montmul_const(a, c_ref, base):
+    """CIOS against a constant whose limbs live in SMEM: `c_ref` is a
+    FLAT scalar-memory ref and `base` the (possibly traced) element
+    offset; limb k is the scalar c_ref[base + k] broadcast across
+    lanes. Mosaic only allows 128-lane-aligned vector loads from VMEM,
+    so per-limb constants must come from SMEM (scalar core
+    addressing); the refs are flat because SMEM windows are
+    (8,128)-tile padded per trailing 2-D slice (a [57,17,16] window
+    allocates 684K of the 1M SMEM)."""
+    t = jnp.zeros((N_LIMBS + 1,) + a.shape[1:], dtype=jnp.uint32)
+    zrow = jnp.zeros_like(t[:1])
+
+    def body(i, t):
+        bi = c_ref[base + i]
+        prod = a * bi
+        t0 = t[0] + (prod[0] & _mask)
+        m = (t0 * jnp.uint32(N0INV)) & _mask
+        q = jnp.stack([m * jnp.uint32(pj) for pj in P_LIMBS], axis=0)
+        lo = (prod & _mask) + (q & _mask)
+        hi = (prod >> LIMB_BITS) + (q >> LIMB_BITS)
+        t = t + jnp.concatenate([lo, zrow], axis=0)
+        t = t + jnp.concatenate([zrow, hi], axis=0)
+        carry = t[0] >> LIMB_BITS
+        t = jnp.concatenate([t[1:2] + carry, t[2:], zrow], axis=0)
+        return t
+
+    t = jax.lax.fori_loop(0, N_LIMBS, body, t)
+    limbs, carry = [], jnp.zeros_like(t[0])
+    for j in range(N_LIMBS):
+        v = t[j] + carry
+        limbs.append(v & _mask)
+        carry = v >> LIMB_BITS
+    out = jnp.stack(limbs, axis=0)
+    return _sub_if_ge(out)
+
+
 def _sub_if_ge(x):
     borrow = jnp.zeros_like(x[0])
     diff = []
@@ -82,11 +118,21 @@ def _sub_if_ge(x):
     return jnp.where(borrow == 0, jnp.stack(diff, axis=0), x)
 
 
-def _add_const_ref(x, c_ref):
-    """x + constant from a VMEM ref row [16] (mod p)."""
+def _add_const_ref(x, c_ref, base):
+    """x + constant with limbs read as SMEM scalars c_ref[base + j]."""
     limbs, carry = [], jnp.zeros_like(x[0])
     for j in range(N_LIMBS):
-        v = x[j] + c_ref[j] + carry
+        v = x[j] + c_ref[base + j] + carry
+        limbs.append(v & _mask)
+        carry = v >> LIMB_BITS
+    return _sub_if_ge(jnp.stack(limbs, axis=0))
+
+
+def _add_mod(a, b):
+    """(a + b) mod p on [16, R, 128] canonical-limb values."""
+    limbs, carry = [], jnp.zeros_like(a[0])
+    for j in range(N_LIMBS):
+        v = a[j] + b[j] + carry
         limbs.append(v & _mask)
         carry = v >> LIMB_BITS
     return _sub_if_ge(jnp.stack(limbs, axis=0))
@@ -140,29 +186,45 @@ def _make_permute_kernel(arity: int):
     r_p = c.r_p
     rounds = c.r_f + c.r_p
 
-    def kernel(state_ref, rc_ref, mds_ref, out_ref, scratch):
+    def kernel(state_ref, rc_ref, mds_ref, sp_ref, dl_ref, out_ref, scratch):
         # state [t, 16, R, 128] as a list of t elements
         state = [state_ref[i] for i in range(t)]
 
         def full_round(r, state):
             new = []
             for i in range(t):
-                e = _add_const_ref(state[i], rc_ref[r, i])
+                e = _add_const_ref(state[i], rc_ref, (r * t + i) * N_LIMBS)
                 new.append(_sbox(e, scratch))
-            return _mix(new)
+            return _mix(new, mds_ref)
 
-        def partial_round(r, state):
+        def sparse_round(k, state):
+            # ARC (pre-transformed c') + sbox(elem0) + sparse mix E_k:
+            # out0 = m00*x0 + sum v_j*x_{j+1}; out_i = w_hat_i*x0 + x_i.
+            # sp row layout: [m00, v[0..t-2], w_hat[0..t-2]].
             new = [
-                _add_const_ref(state[i], rc_ref[r, i]) for i in range(t)
+                _add_const_ref(
+                    state[i], rc_ref, ((r_f_half + k) * t + i) * N_LIMBS
+                )
+                for i in range(t)
             ]
             new[0] = _sbox(new[0], scratch)
-            return _mix(new)
+            row = k * (2 * t - 1)
+            parts = [_montmul_const(new[0], sp_ref, row * N_LIMBS)]
+            for j in range(t - 1):
+                parts.append(
+                    _montmul_const(new[j + 1], sp_ref, (row + 1 + j) * N_LIMBS)
+                )
+            outs = [_reduce_sum_mod(parts)]
+            for i in range(t - 1):
+                wi = _montmul_const(new[0], sp_ref, (row + t + i) * N_LIMBS)
+                outs.append(_add_mod(wi, new[i + 1]))
+            return outs
 
-        def _mix(elems):
+        def _mix(elems, m_ref):
             mixed = []
             for i in range(t):
                 parts = [
-                    _montmul_val_ref(elems[j], mds_ref.at[i, j])
+                    _montmul_const(elems[j], m_ref, (i * t + j) * N_LIMBS)
                     for j in range(t)
                 ]
                 mixed.append(_reduce_sum_mod(parts))
@@ -177,7 +239,9 @@ def _make_permute_kernel(arity: int):
 
         s = jnp.stack(state, axis=0)
         s = run(s, 0, r_f_half, full_round)
-        s = run(s, r_f_half, r_f_half + r_p, partial_round)
+        s = run(s, 0, r_p, sparse_round)
+        # fold the accumulated dense residue D_P in one mix
+        s = jnp.stack(_mix([s[i] for i in range(t)], dl_ref), axis=0)
         s = run(s, r_f_half + r_p, rounds, full_round)
         out_ref[:] = s
 
@@ -186,12 +250,30 @@ def _make_permute_kernel(arity: int):
 
 @lru_cache(maxsize=None)
 def _staged(arity: int):
+    from ..poseidon import optimized_partial_schedule
+
     c = poseidon_constants(arity)
     mont = lambda vals: FR.to_limbs([(v * FR.mont_r) % P_INT for v in vals])
     rc = mont(c.round_constants).reshape(c.r_f + c.r_p, c.t, N_LIMBS)
     mds = mont([v for row in c.mds for v in row]).reshape(c.t, c.t, N_LIMBS)
     tag = mont([c.domain_tag]).reshape(N_LIMBS)
-    return rc, mds, tag
+    # sparse partial-round schedule: c' replaces the partial rc rows;
+    # sp rows are [m00, v..., w_hat...]; d_last is the trailing dense mix
+    c_prime, m00s, vs, w_hats, d_last = optimized_partial_schedule(arity)
+    half_f = c.r_f // 2
+    rc = rc.copy()
+    rc[half_f : half_f + c.r_p] = mont(
+        [x for row in c_prime for x in row]
+    ).reshape(c.r_p, c.t, N_LIMBS)
+    sp = mont(
+        [
+            x
+            for k in range(c.r_p)
+            for x in ([m00s[k]] + list(vs[k]) + list(w_hats[k]))
+        ]
+    ).reshape(c.r_p, 2 * c.t - 1, N_LIMBS)
+    dl = mont([v for row in d_last for v in row]).reshape(c.t, c.t, N_LIMBS)
+    return rc, mds, sp, dl, tag
 
 
 @partial(jax.jit, static_argnames=("arity",))
@@ -199,7 +281,7 @@ def permute_soa(states, arity: int):
     """states: [t, 16, N] SoA Montgomery; N a multiple of POS_BLOCK.
     Returns the permuted states, same layout."""
     kernel, t, rounds = _make_permute_kernel(arity)
-    rc, mds, _ = _staged(arity)
+    rc, mds, sp, dl, _ = _staged(arity)
     N = states.shape[2]
     assert N % POS_BLOCK == 0
     s3 = states.reshape(t, N_LIMBS, N // 128, 128)
@@ -208,30 +290,30 @@ def permute_soa(states, arity: int):
         (t, N_LIMBS, POS_ROWS, 128), lambda i: (0, 0, i, 0),
         memory_space=pltpu.VMEM,
     )
-    rc_spec = pl.BlockSpec(
-        (rounds, t, N_LIMBS), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    # constants go to SMEM FLAT: SMEM windows tile-pad the trailing two
+    # dims to (8,128), so a [57,17,16] window would eat 684K of the 1M
+    smem = lambda size: pl.BlockSpec(
+        (size,), lambda i: (0,), memory_space=pltpu.SMEM
     )
-    mds_spec = pl.BlockSpec(
-        (t, t, N_LIMBS), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
-    )
+    consts = [np.asarray(x).reshape(-1) for x in (rc, mds, sp, dl)]
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
             (t, N_LIMBS, N // 128, 128), jnp.uint32
         ),
         grid=grid,
-        in_specs=[state_spec, rc_spec, mds_spec],
+        in_specs=[state_spec] + [smem(c.size) for c in consts],
         out_specs=state_spec,
         scratch_shapes=[pltpu.VMEM((N_LIMBS, POS_ROWS, 128), jnp.uint32)],
         interpret=jax.default_backend() == "cpu",
-    )(s3, jnp.asarray(rc), jnp.asarray(mds))
+    )(s3, *[jnp.asarray(c) for c in consts])
     return out.reshape(t, N_LIMBS, N)
 
 
 def hash_mont_soa(preimages, arity: int):
     """preimages: [arity, 16, N] SoA Montgomery. Returns [16, N] digests
     (Merkle domain tag in state[0]; digest = state[1])."""
-    _, _, tag = _staged(arity)
+    tag = _staged(arity)[-1]
     N = preimages.shape[2]
     tag_plane = jnp.broadcast_to(
         jnp.asarray(tag)[None, :, None], (1, N_LIMBS, N)

@@ -244,6 +244,100 @@ def permutation(state: list[int], consts: PoseidonConstants) -> list[int]:
     return s
 
 
+def _mat_inv_mod(m: list[list[int]]) -> list[list[int]]:
+    """Inverse of a matrix mod R by Gauss-Jordan (t <= 12, exact ints)."""
+    n = len(m)
+    a = [row[:] + [1 if i == j else 0 for j in range(n)] for i, row in enumerate(m)]
+    for col in range(n):
+        piv = next(r for r in range(col, n) if a[r][col] % R != 0)
+        a[col], a[piv] = a[piv], a[col]
+        inv = pow(a[col][col], R - 2, R)
+        a[col] = [(x * inv) % R for x in a[col]]
+        for r in range(n):
+            if r != col and a[r][col]:
+                f = a[r][col]
+                a[r] = [(x - f * y) % R for x, y in zip(a[r], a[col])]
+    return [row[n:] for row in a]
+
+
+def _mat_mul(a, b):
+    n, k, m = len(a), len(b), len(b[0])
+    return [
+        [sum(a[i][x] * b[x][j] for x in range(k)) % R for j in range(m)]
+        for i in range(n)
+    ]
+
+
+def _mat_vec(a, v):
+    return [sum(a[i][j] * v[j] for j in range(len(v))) % R for i in range(len(a))]
+
+
+@lru_cache(maxsize=None)
+def optimized_partial_schedule(arity: int):
+    """Sparse-MDS factorization of the partial-round chain (the standard
+    Poseidon appendix-B optimization, as used by neptune for the GPU
+    tree builders the reference consumes — stacked/vanilla/proof.hpp
+    column/tree hashing). The P partial rounds x -> M.S(x + c_k) are
+    rewritten as P sparse rounds x -> E_k.S(x + c'_k) followed by ONE
+    dense mix D: each E_k has 2t-1 non-trivial entries
+    ([[m00, v], [w_hat, I]]), so the per-round mix drops from t^2 to
+    2t-1 field muls. Returns (c_prime[P][t], m00[P], v[P][t-1],
+    w_hat[P][t-1], d_last[t][t]) as python ints mod R.
+
+    Derivation: M = M'.M'' with M' = [[1,0],[0,Mhat]] and
+    M'' = [[M00, v],[Mhat^-1 w, I]]; S commutes with M'-shaped maps
+    after transforming the constants by Mhat^-1, so the dense residue
+    M' is pushed left through the whole chain, re-decomposing
+    N_k = M.D_{k-1} at each step. Verified bit-exact against the plain
+    permutation in tests/test_poseidon.py."""
+    consts = poseidon_constants(arity)
+    t, mds, rc = consts.t, consts.mds, consts.round_constants
+    half_f, P = consts.r_f // 2, consts.r_p
+    c_prime, m00s, vs, w_hats = [], [], [], []
+    d = [[1 if i == j else 0 for j in range(t)] for i in range(t)]
+    for k in range(P):
+        c = rc[(half_f + k) * t : (half_f + k + 1) * t]
+        dhat_inv = _mat_inv_mod([row[1:] for row in d[1:]])
+        c_prime.append([c[0]] + _mat_vec(dhat_inv, c[1:]))
+        n_mat = _mat_mul(mds, d)
+        mhat = [row[1:] for row in n_mat[1:]]
+        m00s.append(n_mat[0][0])
+        vs.append(n_mat[0][1:])
+        w_hats.append(_mat_vec(_mat_inv_mod(mhat), [row[0] for row in n_mat[1:]]))
+        d = [[1] + [0] * (t - 1)] + [[0] + row for row in mhat]
+    return c_prime, m00s, vs, w_hats, d
+
+
+def permutation_optimized(state: list[int], consts: PoseidonConstants) -> list[int]:
+    """Host reference for the sparse-partial-round schedule (golden
+    check for the Pallas kernel; must equal `permutation` exactly)."""
+    t, mds, rc = consts.t, consts.mds, consts.round_constants
+    half_f = consts.r_f // 2
+    c_prime, m00s, vs, w_hats, d_last = optimized_partial_schedule(consts.arity)
+    s = [x % R for x in state]
+
+    def mix(vec):
+        return [sum(mds[i][j] * vec[j] for j in range(t)) % R for i in range(t)]
+
+    c = 0
+    for _ in range(half_f):
+        s = [pow((x + rc[c + i]) % R, ALPHA, R) for i, x in enumerate(s)]
+        c += t
+        s = mix(s)
+    for k in range(consts.r_p):
+        s = [(x + c_prime[k][i]) % R for i, x in enumerate(s)]
+        s[0] = pow(s[0], ALPHA, R)
+        out0 = (m00s[k] * s[0] + sum(vs[k][j] * s[j + 1] for j in range(t - 1))) % R
+        s = [out0] + [(w_hats[k][i] * s[0] + s[i + 1]) % R for i in range(t - 1)]
+        c += t
+    s = _mat_vec(d_last, s)
+    for _ in range(half_f):
+        s = [pow((x + rc[c + i]) % R, ALPHA, R) for i, x in enumerate(s)]
+        c += t
+        s = mix(s)
+    return s
+
+
 def poseidon_hash(preimage: list[int], arity: int | None = None) -> int:
     """Hash `arity` field elements to one (Merkle-tree domain tag)."""
     if arity is None:

@@ -88,7 +88,25 @@ class Sha256Backend:
 _BACKENDS = {"poseidon": PoseidonBackend(), "sha256": Sha256Backend()}
 
 
+def _accelerator_available() -> bool:
+    try:
+        import jax
+
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
 def get_backend(name: str):
+    """Resolve a tree-hash backend. "poseidon" dispatches to the fused
+    Pallas level builder on TPU when use_tpu_tree_builder is set (the
+    reference's GPU tree/column builder switch, configuration.hpp:50-56);
+    the host path remains the golden reference and the CPU-CI default."""
+    if name == "poseidon" and "poseidon-pallas" in _BACKENDS:
+        from ..core.settings import settings
+
+        if settings().use_tpu_tree_builder and _accelerator_available():
+            return _BACKENDS["poseidon-pallas"]
     return _BACKENDS[name]
 
 

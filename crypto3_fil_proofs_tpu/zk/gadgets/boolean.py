@@ -157,6 +157,41 @@ class Boolean:
                    "enforce equal")
 
 
+def alloc_bits_bulk(cs: ConstraintSystem, vals) -> list[Boolean]:
+    """Allocate many AllocatedBit booleans at once: one bulk_alloc plus
+    a BulkBlock of b*(1-b)=0 rows (array-synthesis path; same
+    constraint content as AllocatedBit.alloc per bit)."""
+    import numpy as np
+
+    from ..r1cs import _EMPTY_I64, _BulkBuilder
+
+    vals = np.asarray(vals, dtype=np.int64)
+    n = len(vals)
+    if n == 0:
+        return []
+    base = cs.bulk_alloc(vals)
+    ids = np.arange(base, base + n, dtype=np.int64)
+    ones = np.ones(n, np.int64)
+    b_cols = np.empty(2 * n, np.int64)
+    b_cols[0::2] = 0
+    b_cols[1::2] = ids
+    b_coeffs = np.empty(2 * n, np.int64)
+    b_coeffs[0::2] = 1
+    b_coeffs[1::2] = -1
+    builder = _BulkBuilder()
+    builder.add_rows(
+        n,
+        ones, ids, ones,
+        2 * ones, b_cols, b_coeffs,
+        np.zeros(n, np.int64), _EMPTY_I64, _EMPTY_I64,
+    )
+    cs.add_bulk_block(builder.build("bits"))
+    vlist = vals.tolist()
+    return [
+        Boolean(bit=AllocatedBit(base + i, vlist[i])) for i in range(n)
+    ]
+
+
 def accumulate_boolean(lc: LinearCombination, b: "Boolean", coeff: int) -> None:
     """In-place `lc += coeff * b` (hot path for packing loops)."""
     if b.constant is not None:

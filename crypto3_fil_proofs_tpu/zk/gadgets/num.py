@@ -59,13 +59,12 @@ class AllocatedNum:
         cs.enforce(a.lc() - b.lc(), lc_one(), LinearCombination(), "equals")
 
     def to_bits_le(self, cs, bits: int = 255) -> list[Boolean]:
-        """LE bit decomposition with packing constraint."""
-        from .boolean import pack_bits_lc
+        """LE bit decomposition with packing constraint (bulk-allocated
+        bits; same constraint content as the per-bit path)."""
+        from .boolean import alloc_bits_bulk, pack_bits_lc
 
-        out = []
-        for i in range(bits):
-            b = AllocatedBit.alloc(cs, (self.value >> i) & 1)
-            out.append(Boolean.from_bit(b))
+        v = self.value
+        out = alloc_bits_bulk(cs, [(v >> i) & 1 for i in range(bits)])
         lc, _ = pack_bits_lc(out)
         lc.accumulate(self.var, R - 1)
         cs.enforce(lc, lc_one(), LinearCombination(), "unpacking")

@@ -22,10 +22,11 @@ from .sha256 import digest_bits_value, le_bits_to_be, sha256
 def _le_value_bits(cs, value: int, n_bits: int) -> list:
     """Allocate the LE bits of a known value (no packing constraint; the
     consumer ties them via hashing/insertion)."""
-    return [
-        Boolean.from_bit(AllocatedBit.alloc(cs, (value >> i) & 1))
-        for i in range(n_bits)
-    ]
+    from .boolean import alloc_bits_bulk
+
+    return alloc_bits_bulk(
+        cs, [(value >> i) & 1 for i in range(n_bits)]
+    )
 
 
 def sha256_node_circuit(cs, children: list[AllocatedNum]) -> AllocatedNum:

@@ -43,8 +43,15 @@ def poseidon_hash_circuit(
     if arity is None:
         arity = len(preimage)
     assert len(preimage) == arity
+    from ...ops.poseidon import optimized_partial_schedule
+
     consts = poseidon_constants(arity)
     t, rc, mds = consts.t, consts.round_constants, consts.mds
+    # sparse partial-round schedule (ops/poseidon.py appendix-B
+    # factorization): the folded linear layers compose to the SAME
+    # final LC coefficients, so the emitted R1CS is unchanged — but
+    # mix work drops from t^2 to 2t-1 LC-accumulates per partial round
+    c_prime, m00s, vs, w_hats, d_last = optimized_partial_schedule(arity)
 
     lcs = [LinearCombination.constant(consts.domain_tag)] + [
         n.lc() for n in preimage
@@ -53,22 +60,34 @@ def poseidon_hash_circuit(
     c = 0
     half_f = consts.r_f // 2
 
-    def add_rc():
+    def add_rc(row=None):
         nonlocal c
+        src = rc[c : c + t] if row is None else row
         for i in range(t):
-            lcs[i] = lcs[i] + rc[c + i]
-            vals[i] = (vals[i] + rc[c + i]) % R
+            lcs[i] = lcs[i] + src[i]
+            vals[i] = (vals[i] + src[i]) % R
         c += t
 
-    def mix():
+    def _accum(acc: dict, terms: dict, k: int):
+        get = acc.get
+        for var, co in terms.items():
+            acc[var] = get(var, 0) + co * k
+
+    def _from_acc(acc: dict) -> LinearCombination:
+        return LinearCombination.from_terms(
+            {v: co % R for v, co in acc.items()}
+        )
+
+    def mat_mix(mat):
         new_lcs, new_vals = [], []
         for i in range(t):
-            acc_lc = LinearCombination()
+            acc: dict = {}
             acc_v = 0
+            row = mat[i]
             for j in range(t):
-                acc_lc = acc_lc + lcs[j].scale(mds[i][j])
-                acc_v += mds[i][j] * vals[j]
-            new_lcs.append(acc_lc)
+                _accum(acc, lcs[j].terms, row[j])
+                acc_v += row[j] * vals[j]
+            new_lcs.append(_from_acc(acc))
             new_vals.append(acc_v % R)
         lcs[:], vals[:] = new_lcs, new_vals
 
@@ -76,16 +95,32 @@ def poseidon_hash_circuit(
         add_rc()
         for i in range(t):
             lcs[i], vals[i] = _sbox(cs, lcs[i], vals[i])
-        mix()
-    for _ in range(consts.r_p):
-        add_rc()
+        mat_mix(mds)
+    for k in range(consts.r_p):
+        add_rc(c_prime[k])
         lcs[0], vals[0] = _sbox(cs, lcs[0], vals[0])
-        mix()
+        # sparse mix E_k: out0 = m00*x0 + sum v_j x_{j+1};
+        # out_i = w_hat_i*x0 + x_i
+        acc: dict = {}
+        _accum(acc, lcs[0].terms, m00s[k])
+        out0_v = m00s[k] * vals[0]
+        for j in range(t - 1):
+            _accum(acc, lcs[j + 1].terms, vs[k][j])
+            out0_v += vs[k][j] * vals[j + 1]
+        new_lcs = [_from_acc(acc)]
+        new_vals = [out0_v % R]
+        for i in range(t - 1):
+            acc_i: dict = dict(lcs[i + 1].terms)
+            _accum(acc_i, lcs[0].terms, w_hats[k][i])
+            new_lcs.append(_from_acc(acc_i))
+            new_vals.append((w_hats[k][i] * vals[0] + vals[i + 1]) % R)
+        lcs[:], vals[:] = new_lcs, new_vals
+    mat_mix(d_last)
     for _ in range(half_f):
         add_rc()
         for i in range(t):
             lcs[i], vals[i] = _sbox(cs, lcs[i], vals[i])
-        mix()
+        mat_mix(mds)
 
     out = AllocatedNum.alloc(cs, vals[1], "poseidon_digest")
     cs.enforce(lcs[1] - out.lc(), lc_one(), LinearCombination(), "digest")

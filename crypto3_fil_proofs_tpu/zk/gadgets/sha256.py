@@ -74,7 +74,15 @@ def sha256_compress(cs, block_bits: list, state: list) -> list:
 
 def sha256_block_no_padding(cs, block_bits: list) -> list:
     """Hash exactly one 512-bit block with the IV, no padding appended
-    (rust-fil-proofs uses this for 64-byte two-child node hashing)."""
+    (rust-fil-proofs uses this for 64-byte two-child node hashing).
+    Dispatches to the array-synthesis emitter; `_scalar` variant below
+    is the per-bit reference."""
+    from .sha256_vec import sha256_block_no_padding_vec
+
+    return sha256_block_no_padding_vec(cs, block_bits)
+
+
+def sha256_block_no_padding_scalar(cs, block_bits: list) -> list:
     state = [UInt32.constant(v) for v in IV]
     state = sha256_compress(cs, block_bits, state)
     out = []
@@ -85,7 +93,19 @@ def sha256_block_no_padding(cs, block_bits: list) -> list:
 
 def sha256(cs, data_bits: list) -> list:
     """Full SHA-256 with standard padding. data_bits in BE byte order,
-    length must be a multiple of 8."""
+    length must be a multiple of 8.
+
+    Dispatches to the array-synthesis emitter (sha256_vec.py: numpy CSR
+    BulkBlocks, ~10-30x the per-bit python path; same per-bit constraint
+    content). `sha256_scalar` keeps the per-bit reference path for
+    parity tests."""
+    from .sha256_vec import sha256_vec
+
+    return sha256_vec(cs, data_bits)
+
+
+def sha256_scalar(cs, data_bits: list) -> list:
+    """Per-bit reference path (bellperson sha256.rs port)."""
     length = len(data_bits)
     assert length % 8 == 0
     bits = list(data_bits)

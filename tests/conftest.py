@@ -8,6 +8,13 @@ layers=2/partitions=1/challenges=2 for test sector classes).
 """
 import os
 
+# The persistent compilation cache segfaults in XLA:CPU
+# executable.serialize() on the big MSM programs (cold-cache write,
+# jax compilation_cache.py:265) — reproducibly killed the suite at
+# test_g1_msm. Tests always force the CPU backend, so disable the
+# cache here; bench/e2e scripts (TPU executables) keep it.
+os.environ["FIL_PROOFS_JAX_CACHE"] = "0"
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
@@ -52,3 +59,20 @@ def rng_seed():
     # Deterministic seed, analog of the reference's XorShiftRng TEST_SEED
     # (reference: libs/storage/test/core/por.cpp:31).
     return 0x5EED
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_jax_memory_per_module():
+    """Release compiled executables + live device buffers after each
+    test module. One serial suite process accumulates every module's
+    XLA:CPU programs (the MSM/NTT ones are GB-scale); past ~90 tests
+    the next big compile's allocations failed and XLA segfaulted
+    (backend_compile_and_load) — deterministic at test_groth16 in full
+    runs while the same tests pass standalone."""
+    yield
+    import gc
+
+    import jax
+
+    jax.clear_caches()
+    gc.collect()

@@ -67,3 +67,19 @@ def test_hash_md_folding():
         acc = pos.poseidon_hash(pre, 36)
     assert h == acc
     assert pos.hash_md([42]) == 42
+
+
+def test_sparse_partial_schedule_matches_plain():
+    """The appendix-B sparse-MDS factorization (used by the Pallas
+    kernel's partial rounds) must be bit-identical to the plain
+    permutation at every supported arity."""
+    import random
+
+    rng = random.Random(0x5EED)
+    for arity in (2, 4, 8, 11, 36):
+        c = pos.poseidon_constants(arity)
+        for _ in range(2):
+            state = [rng.getrandbits(253) for _ in range(c.t)]
+            assert pos.permutation_optimized(state, c) == pos.permutation(
+                state, c
+            ), arity

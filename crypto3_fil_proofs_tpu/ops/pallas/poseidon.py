@@ -107,6 +107,92 @@ def _montmul_const(a, c_ref, base):
     return _sub_if_ge(out)
 
 
+N_ACC = 2 * N_LIMBS + 1  # 33 wide-accumulator columns
+
+
+def _acc_mul_const(acc, x, c_ref, base):
+    """acc += x * const, schoolbook into the [33, R, 128] wide
+    accumulator WITHOUT reduction (the REDC is shared across a whole
+    linear-combination row — PLAN r2 'accumulate-then-REDC'). x is a
+    canonical 16-limb value; const limbs are SMEM scalars
+    c_ref[base + k]. lo/hi splits keep columns <= 2^21 per product and
+    < 2^26 per mix row — far inside u32."""
+    zrow = jnp.zeros_like(x[:1])
+    for k in range(N_LIMBS):
+        p = x * c_ref[base + k]
+        q = jnp.concatenate([p & _mask, zrow], axis=0) + jnp.concatenate(
+            [zrow, p >> LIMB_BITS], axis=0
+        )  # [17, R, 128] column-aligned partial product
+        pads = []
+        if k:
+            pads.append(jnp.zeros_like(acc[:k]))
+        pads.append(q)
+        if N_ACC - 17 - k:
+            pads.append(jnp.zeros_like(acc[: N_ACC - 17 - k]))
+        acc = acc + jnp.concatenate(pads, axis=0)
+    return acc
+
+
+def _redc_wide(acc):
+    """Montgomery reduction of the [33, R, 128] wide accumulator: 16
+    CIOS-style iterations resolving one low column at a time, then
+    carry-normalize the high half and an 8p/4p/2p/p subtract ladder
+    (the row sum of <= 15 canonical products keeps the result < ~7p)."""
+    carry = jnp.zeros_like(acc[0])
+    p_col = jnp.stack(
+        [jnp.full_like(acc[0], jnp.uint32(pj)) for pj in P_LIMBS], axis=0
+    )
+    for i in range(N_LIMBS):
+        v = acc[i] + carry
+        m = (v * jnp.uint32(N0INV)) & _mask
+        mp = m * p_col  # [16, R, 128]
+        carry = (v + (mp[0] & _mask)) >> LIMB_BITS
+        lo = mp & _mask
+        hi = mp >> LIMB_BITS
+        qq = jnp.concatenate([lo, jnp.zeros_like(lo[:1])], axis=0)
+        qq = qq + jnp.concatenate([jnp.zeros_like(hi[:1]), hi], axis=0)
+        # columns i..i+16 get the aligned m*p partial (col i cancels)
+        pads = []
+        if i:
+            pads.append(jnp.zeros_like(acc[:i]))
+        pads.append(qq)
+        if N_ACC - 17 - i:
+            pads.append(jnp.zeros_like(acc[: N_ACC - 17 - i]))
+        acc = acc + jnp.concatenate(pads, axis=0)
+    limbs = []
+    for j in range(N_LIMBS, N_ACC - 1):
+        v = acc[j] + carry
+        limbs.append(v & _mask)
+        carry = v >> LIMB_BITS
+    v = acc[N_ACC - 1] + carry
+    limbs.append(v & _mask)  # 17th limb: result < (1 + t*p/R)p ~ 7p
+    x = jnp.stack(limbs[:N_LIMBS], axis=0)
+    extra = limbs[N_LIMBS]
+    # conditional 8p/4p/2p/p ladder over the 17-limb value (same bound
+    # handling as _reduce_sum_mod)
+    for mult in (8, 4, 2, 1):
+        pm = P_INT * mult
+        pm_limbs = [
+            (pm >> (LIMB_BITS * j)) & LIMB_MASK for j in range(N_LIMBS + 1)
+        ]
+        borrow = jnp.zeros_like(x[0])
+        diff = []
+        for j in range(N_LIMBS):
+            s = jnp.uint32(pm_limbs[j]) + borrow
+            d = x[j] - s
+            borrow = (x[j] < s).astype(jnp.uint32)
+            diff.append(d & _mask)
+        extra_after = extra - jnp.uint32(pm_limbs[N_LIMBS]) - borrow
+        ge = extra >= jnp.uint32(pm_limbs[N_LIMBS]) + borrow
+        x = jnp.where(ge, jnp.stack(diff, axis=0), x)
+        extra = jnp.where(ge, extra_after, extra)
+    return x
+
+
+def _zero_acc(shape):
+    return jnp.zeros((N_ACC,) + shape, dtype=jnp.uint32)
+
+
 def _sub_if_ge(x):
     borrow = jnp.zeros_like(x[0])
     diff = []
@@ -209,25 +295,29 @@ def _make_permute_kernel(arity: int):
             ]
             new[0] = _sbox(new[0], scratch)
             row = k * (2 * t - 1)
-            parts = [_montmul_const(new[0], sp_ref, row * N_LIMBS)]
+            acc = _zero_acc(new[0].shape[1:])
+            acc = _acc_mul_const(acc, new[0], sp_ref, row * N_LIMBS)
             for j in range(t - 1):
-                parts.append(
-                    _montmul_const(new[j + 1], sp_ref, (row + 1 + j) * N_LIMBS)
+                acc = _acc_mul_const(
+                    acc, new[j + 1], sp_ref, (row + 1 + j) * N_LIMBS
                 )
-            outs = [_reduce_sum_mod(parts)]
+            outs = [_redc_wide(acc)]
             for i in range(t - 1):
                 wi = _montmul_const(new[0], sp_ref, (row + t + i) * N_LIMBS)
                 outs.append(_add_mod(wi, new[i + 1]))
             return outs
 
         def _mix(elems, m_ref):
+            # accumulate-then-REDC: one shared Montgomery reduction per
+            # output row instead of t full CIOS reductions
             mixed = []
             for i in range(t):
-                parts = [
-                    _montmul_const(elems[j], m_ref, (i * t + j) * N_LIMBS)
-                    for j in range(t)
-                ]
-                mixed.append(_reduce_sum_mod(parts))
+                acc = _zero_acc(elems[0].shape[1:])
+                for j in range(t):
+                    acc = _acc_mul_const(
+                        acc, elems[j], m_ref, (i * t + j) * N_LIMBS
+                    )
+                mixed.append(_redc_wide(acc))
             return mixed
 
         def run(state_stack, lo, hi, fn):

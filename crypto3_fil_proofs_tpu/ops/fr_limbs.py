@@ -105,7 +105,9 @@ class Field:
         return np.ascontiguousarray(data).view("<u2").astype(np.uint32)
 
     def limbs_to_bytes(self, limbs: np.ndarray) -> np.ndarray:
-        arr = np.asarray(limbs, dtype=np.uint32).astype("<u2")
+        arr = np.ascontiguousarray(
+            np.asarray(limbs, dtype=np.uint32).astype("<u2")
+        )
         return arr.view(np.uint8).reshape(*limbs.shape[:-1], self.n * 2)
 
 

@@ -345,15 +345,37 @@ class PallasPoseidonBackend:
 
     name = "poseidon-pallas"
 
-    def hash_level(self, nodes: np.ndarray, arity: int) -> np.ndarray:
-        from ..core.settings import settings
-        from .pallas.poseidon import hash_level_packed
+    # fixed chunk (in parent hashes) + pow2-padded tail: every level of
+    # every tree reuses one of ~10 compiled programs per arity instead
+    # of compiling per level size (PC2 at 8 MiB was ~275 s of tunnel
+    # compiles for ~1 s of hashing)
+    CHUNK = 1 << 17
 
-        limit = max(settings().max_tpu_tree_batch_size, 1024) * arity
+    def hash_level(self, nodes: np.ndarray, arity: int) -> np.ndarray:
+        from .pallas.poseidon import POS_BLOCK, hash_level_packed
+
+        batch = nodes.shape[0] // arity
         out = []
-        for lo in range(0, nodes.shape[0], limit):
-            mont = bytes_to_mont(nodes[lo : lo + limit])
-            out.append(mont_to_bytes(hash_level_packed(mont, arity)))
+        lo = 0
+        while lo < batch:
+            take = min(self.CHUNK, batch - lo)
+            if take < self.CHUNK:
+                # pad the tail up to a power-of-two program size
+                padded = max(POS_BLOCK, 1 << (take - 1).bit_length())
+                seg = np.zeros((padded * arity, 32), np.uint8)
+                seg[: take * arity] = nodes[
+                    lo * arity : (lo + take) * arity
+                ]
+                mont = bytes_to_mont(seg)
+                out.append(
+                    mont_to_bytes(hash_level_packed(mont, arity))[:take]
+                )
+            else:
+                mont = bytes_to_mont(
+                    nodes[lo * arity : (lo + take) * arity]
+                )
+                out.append(mont_to_bytes(hash_level_packed(mont, arity)))
+            lo += take
         return out[0] if len(out) == 1 else np.concatenate(out)
 
     def hash_single(self, children: list[bytes]) -> bytes:

@@ -13,6 +13,7 @@ field — the metric meaning never silently changes between rounds
 Env knobs:
   FIL_PROOFS_BENCH_MSM_BUDGET  subprocess seconds (default 3000)
   FIL_PROOFS_BENCH_LOGN        MSM size exponent (default 22)
+  FIL_PROOFS_BENCH_LOGN2       second MSM size in "extra" (default 24; 0 = off)
   FIL_PROOFS_BENCH_CPU_LOGN    native CPU baseline size (default 18)
 """
 from __future__ import annotations
@@ -91,7 +92,7 @@ def _bench_native_cpu_msm(n: int) -> float:
     return n / (time.perf_counter() - t0)
 
 
-def _bench_msm(logn: int):
+def _bench_msm(logn: int, iters: int = 2):
     """G1 Pippenger rate via the fused Pallas point kernels (falls back
     to the XLA path off-TPU; ops/pallas/msm.py)."""
     import jax
@@ -113,7 +114,6 @@ def _bench_msm(logn: int):
         fn = lambda s: msm_mod.msm_device(points, s)
     fetch_sync(fn(scalars))  # compile + run
     t0 = time.perf_counter()
-    iters = 2
     for i in range(iters):
         # fresh scalar buffer each call defeats remote-call memoization;
         # fetch_sync is the only reliable barrier over the tunnel
@@ -123,12 +123,21 @@ def _bench_msm(logn: int):
 
 
 def _inner():
+    import jax
+
     tpu_rate = _bench_msm(LOGN)
+    logn2 = int(os.environ.get("FIL_PROOFS_BENCH_LOGN2", "24"))
+    on_tpu = jax.default_backend() != "cpu"
+    rate2 = (
+        _bench_msm(logn2, iters=1) if on_tpu and logn2 and logn2 != LOGN else 0.0
+    )
     poseidon_rate = _bench_poseidon()
     print(
         json.dumps(
             {
                 "tpu_msm_rate": tpu_rate,
+                "tpu_msm_rate2": rate2,
+                "logn2": logn2,
                 "poseidon_rate": poseidon_rate,
                 "logn": LOGN,
             }
@@ -175,6 +184,15 @@ def main():
             result["extra"]["poseidon8_tree_hashes_per_sec"] = round(
                 inner["poseidon_rate"], 1
             )
+            if inner.get("tpu_msm_rate2"):
+                result["extra"][
+                    f"msm_logn{inner['logn2']}_points_per_sec"
+                ] = round(inner["tpu_msm_rate2"], 1)
+            # algorithmic roofline on this kernel: the bucket gather is
+            # descriptor-rate-bound (~7M rows/s measured, PLAN.md) and
+            # each point is gathered once per 16-bit window (W=16), so
+            # ~437k pts/s is the gather floor at any N
+            result["extra"]["gather_roofline_points_per_sec"] = 437000
     except subprocess.TimeoutExpired:
         result["error"] = f"MSM bench exceeded {MSM_BUDGET_S}s budget"
     except OSError as exc:

@@ -152,10 +152,51 @@ def _sub_if_ge(t: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(ge, jnp.stack(diff, axis=-1), t)
 
 
+def _compact_field_mode() -> bool:
+    """Trace-time switch to the compile-compact (fori_loop) CIOS row
+    loop. The unrolled form traces ~n x more HLO per multiply, which is
+    what XLA:CPU chokes on (an 8-device shard_map MSM program took >10
+    minutes to compile cold — the MULTICHIP_r02 timeout); the rolled
+    form compiles ~an order of magnitude faster at a small runtime cost
+    that only ever applies to tiny CPU test/dryrun shapes. TPU keeps
+    the fully unrolled form (XLA:TPU fuses it, and runtime rules).
+
+    FIL_PROOFS_COMPACT_FIELD: "auto" (default: on iff the default
+    backend is cpu) | "1" | "0".
+    """
+    import os
+
+    mode = os.environ.get("FIL_PROOFS_COMPACT_FIELD", "auto")
+    if mode == "auto":
+        import jax as _jax
+
+        return _jax.default_backend() == "cpu"
+    return mode == "1"
+
+
 def _make_mont_mul(field: Field):
     n = field.n
     n0inv = jnp.uint32(field.n0inv)
     p = field.p
+
+    def _row_step(t, bi, a, zero_col, pad_hi):
+        """One CIOS row: add a*b_i and m*N, divide by 2^16."""
+        prod = a * bi  # exact in uint32
+        t0 = t[..., 0] + (prod[..., 0] & LIMB_MASK)
+        m = (t0 * n0inv) & LIMB_MASK
+        q = m[..., None] * p
+        # accumulate a*b_i and m*N (lo in place, hi shifted one limb up);
+        # pure pad/concat + adds — no scatters, XLA fuses these.
+        lo = jnp.concatenate(
+            [(prod & LIMB_MASK) + (q & LIMB_MASK), zero_col], axis=-1
+        )
+        hi = jnp.pad((prod >> LIMB_BITS) + (q >> LIMB_BITS), pad_hi)
+        t = t + lo + hi
+        carry = t[..., 0:1] >> LIMB_BITS
+        # divide by 2^16: limb 0 is now ≡ 0 mod 2^16 — drop and shift
+        return jnp.concatenate(
+            [t[..., 1:2] + carry, t[..., 2:], zero_col], axis=-1
+        )
 
     def mont_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """Montgomery product a*b*2^(-16n) mod p. Canonical in/out.
@@ -167,26 +208,28 @@ def _make_mont_mul(field: Field):
         a, b = jnp.broadcast_arrays(a, b)
         nd = a.ndim
         pad_hi = [(0, 0)] * (nd - 1) + [(1, 0)]  # shift up one limb
-        t = jnp.zeros(a.shape[:-1] + (n + 1,), dtype=jnp.uint32)
-        zero_col = jnp.zeros(a.shape[:-1] + (1,), dtype=jnp.uint32)
-        for i in range(n):
-            bi = b[..., i : i + 1]
-            prod = a * bi  # exact in uint32
-            t0 = t[..., 0] + (prod[..., 0] & LIMB_MASK)
-            m = (t0 * n0inv) & LIMB_MASK
-            q = m[..., None] * p
-            # accumulate a*b_i and m*N (lo in place, hi shifted one limb up);
-            # pure pad/concat + adds — no scatters, XLA fuses these.
-            lo = jnp.concatenate(
-                [(prod & LIMB_MASK) + (q & LIMB_MASK), zero_col], axis=-1
+        # derive the zero accumulator from BOTH operands (not jnp.zeros)
+        # so it inherits their varying-manual-axes inside shard_map — a
+        # fresh unvarying constant breaks the fori_loop carry type check
+        # (and one operand alone may be an unvarying closed-over const)
+        zero_col = (a[..., :1] ^ a[..., :1]) | (b[..., :1] ^ b[..., :1])
+        t = jnp.repeat(zero_col, n + 1, axis=-1)
+        if _compact_field_mode():
+            t = jax.lax.fori_loop(
+                0,
+                n,
+                lambda i, tt: _row_step(
+                    tt,
+                    jax.lax.dynamic_index_in_dim(b, i, axis=-1, keepdims=True),
+                    a,
+                    zero_col,
+                    pad_hi,
+                ),
+                t,
             )
-            hi = jnp.pad((prod >> LIMB_BITS) + (q >> LIMB_BITS), pad_hi)
-            t = t + lo + hi
-            carry = t[..., 0:1] >> LIMB_BITS
-            # divide by 2^16: limb 0 is now ≡ 0 mod 2^16 — drop and shift
-            t = jnp.concatenate(
-                [t[..., 1:2] + carry, t[..., 2:], zero_col], axis=-1
-            )
+        else:
+            for i in range(n):
+                t = _row_step(t, b[..., i : i + 1], a, zero_col, pad_hi)
         t = _carry_normalize(t, n)
         return _sub_if_ge(t, p)
 

@@ -41,14 +41,17 @@ def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
     return Mesh(np.array(devices), axis_names=(axis,))
 
 
-def msm_sharded(points, scalars, mesh: Mesh, n_buckets: int = 1 << 16,
-                curve_name: str = "g1"):
-    """Pippenger MSM with points+scalars sharded over the mesh axis.
+def msm_sharded_buckets(points, scalars, mesh: Mesh,
+                        n_buckets: int = 1 << 16,
+                        curve_name: str = "g1"):
+    """The sharded half of the Pippenger MSM: per-device bucket
+    accumulation + cross-device bucket merge (all_gather + log-depth
+    point-add fold). Returns the merged [W, B] Jacobian bucket pytree.
 
-    Each device accumulates buckets for its shard (the compute-heavy
-    O(N) part); bucket matrices are all-gathered and folded with a
-    log2(D)-depth batched point-add tree; aggregation and the Horner
-    window combine run replicated (O(B + c*W) — negligible).
+    Split out so callers that only need to validate the collective
+    layout (the driver dry run) can aggregate the O(W*B) bucket sums on
+    the host instead of compiling the (large) aggregation/combine
+    programs — those are identical to the single-chip stages anyway.
     """
     curve = g1_jax if curve_name == "g1" else g2_jax
     axis = mesh.axis_names[0]
@@ -56,22 +59,29 @@ def msm_sharded(points, scalars, mesh: Mesh, n_buckets: int = 1 << 16,
     def local(pts, sc):
         digits = msm_mod._reslice_digits(sc, n_buckets).astype(jnp.uint32)
         acc = msm_mod._bucket_accumulate(pts, digits, n_buckets, curve)
-        # cross-device bucket merge: gather [D, W, B, ...] then fold
+        # cross-device bucket merge: gather [D, W, B, ...] then reduce
+        # with a fori_loop over the device axis. A log-depth unrolled
+        # fold does the same D-1 full-[W,B]-width adds of work but
+        # traces log2(D) separate curve.add programs — each traced
+        # curve-add instance costs seconds of XLA:CPU compile, which is
+        # what timed out the 8-device dry run (MULTICHIP_r02).
         state = _tmap(lambda t: jax.lax.all_gather(t, axis, axis=0), acc)
-        size = jax.tree_util.tree_leaves(state)[0].shape[0]
-        while size > 1:
-            half = size // 2
-            lo = _tmap(lambda t: t[:half], state)
-            hi = _tmap(lambda t: t[half : 2 * half], state)
-            merged = curve.add(lo, hi)
-            if size % 2:
-                rest = _tmap(lambda t: t[2 * half :], state)
-                merged = _tmap(
-                    lambda a, b: jnp.concatenate([a, b], axis=0), merged, rest
-                )
-            state = merged
-            size = half + (size % 2)
-        return _tmap(lambda t: t[0], state)
+        D = jax.tree_util.tree_leaves(state)[0].shape[0]
+
+        def merge(d, s):
+            return curve.add(
+                s,
+                _tmap(
+                    lambda t: jax.lax.dynamic_index_in_dim(
+                        t, d, axis=0, keepdims=False
+                    ),
+                    state,
+                ),
+            )
+
+        return jax.lax.fori_loop(
+            1, D, merge, _tmap(lambda t: t[0], state)
+        )
 
     spec_points = _tmap(lambda _: P(axis, None), points)
     key = ("msm", n_buckets, curve_name, mesh,
@@ -93,7 +103,19 @@ def msm_sharded(points, scalars, mesh: Mesh, n_buckets: int = 1 << 16,
             )
         )
         _SHARDED_FN_CACHE[key] = fn
-    acc = fn(points, scalars)
+    return fn(points, scalars)
+
+
+def msm_sharded(points, scalars, mesh: Mesh, n_buckets: int = 1 << 16,
+                curve_name: str = "g1"):
+    """Pippenger MSM with points+scalars sharded over the mesh axis.
+
+    Each device accumulates buckets for its shard (the compute-heavy
+    O(N) part); bucket matrices are all-gathered and folded with a
+    log2(D)-depth batched point-add tree; aggregation and the Horner
+    window combine run replicated (O(B + c*W) — negligible).
+    """
+    acc = msm_sharded_buckets(points, scalars, mesh, n_buckets, curve_name)
     totals = msm_mod._aggregate_stage(acc, curve_name)
     return msm_mod._combine_stage(
         totals, int(n_buckets).bit_length() - 1, curve_name

@@ -84,3 +84,22 @@ def test_neg_and_zero(ops):
     got = f.from_limbs(np.asarray(ops.neg(limbs)))
     assert got == [(-v) % f.modulus for v in vals]
     assert list(np.asarray(ops.is_zero(limbs))) == [True, False, False, False]
+
+
+def test_compact_vs_unrolled_mont_mul(ops, rng_seed, monkeypatch):
+    """The compile-compact (fori_loop) CIOS and the fully-unrolled CIOS
+    are the same math: bit-identical products on the same inputs. The
+    compact form is what the CPU test/dryrun backend runs by default
+    (FIL_PROOFS_COMPACT_FIELD=auto); TPU keeps the unrolled form."""
+    f = ops.field
+    xs = _rand_elems(f.modulus, 16, rng_seed + 20)
+    ys = _rand_elems(f.modulus, 16, rng_seed + 21)
+    a, b = f.to_limbs(xs), f.to_limbs(ys)
+    monkeypatch.setenv("FIL_PROOFS_COMPACT_FIELD", "1")
+    compact = np.asarray(ops.mont_mul(a, b))
+    monkeypatch.setenv("FIL_PROOFS_COMPACT_FIELD", "0")
+    unrolled = np.asarray(ops.mont_mul(a, b))
+    assert (compact == unrolled).all()
+    rinv = pow(f.mont_r, -1, f.modulus)
+    want = f.to_limbs([(x * y * rinv) % f.modulus for x, y in zip(xs, ys)])
+    assert (compact == want).all()

@@ -33,10 +33,12 @@ CPU_LOGN = int(os.environ.get("FIL_PROOFS_BENCH_CPU_LOGN", "18"))
 # One bucket-window configuration shared by the bench kernel and the
 # analytic roofline below (keep in sync or the roofline silently lies).
 MSM_BUCKETS = 1 << 16
-# Measured descriptor-rate-bound gather throughput on v5e (PLAN.md:
-# ~7M rows/s regardless of row width); each point is gathered once per
-# scalar window, so rows = N * ceil(255/c).
-GATHER_ROWS_PER_S = 7.0e6
+# Measured isolated bucket-fill gather throughput on v5e (x+y plane
+# gathers of 2^20 rows from a 2^22-point table, 2026-08 probe: ~11.5M
+# rows/s; descriptor-bound, not width-bound). Each point is gathered
+# once per scalar window under the count-sorted schedule, so the
+# algorithm's gather floor is GATHER_ROWS_PER_S / ceil(255/c).
+GATHER_ROWS_PER_S = 11.5e6
 
 
 def _gather_roofline(n_buckets: int) -> float:

@@ -38,8 +38,12 @@ def unpadded_sector_size(sector_size: int) -> int:
 
 
 def write_padded(data: bytes) -> bytes:
-    """Insert 2 zero bits after every 254 data bits; output is sized in
-    whole 32-byte elements (the tail element zero-filled)."""
+    """Insert 2 zero bits after every 254 data bits. Output length is
+    the exact padded bit-stream length, byte-rounded — a partial tail
+    element is NOT zero-filled to 32 bytes (reference fr32.hpp
+    transform_bit_offset semantics; goldens fr32_reader.cpp:106-133:
+    32 bytes pad to 33, 127 to 128, 68 to 69). Sector-shaped callers
+    zero-fill separately (pad_sector)."""
     if len(data) == 0:
         return b""
     bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), bitorder="little")
@@ -49,7 +53,10 @@ def write_padded(data: bytes) -> bytes:
     chunks = np.zeros(n_elements * DATA_BITS, dtype=np.uint8)
     chunks[: len(bits)] = bits
     view[:, :DATA_BITS] = chunks.reshape(n_elements, DATA_BITS)
-    return np.packbits(padded_bits, bitorder="little").tobytes()
+    out_bits = len(bits) + 2 * (len(bits) // DATA_BITS)
+    return np.packbits(padded_bits, bitorder="little").tobytes()[
+        : -(-out_bits // 8)
+    ]
 
 
 def write_unpadded(padded: bytes, offset_bytes: int = 0, num_bytes: int | None = None) -> bytes:
@@ -57,7 +64,11 @@ def write_unpadded(padded: bytes, offset_bytes: int = 0, num_bytes: int | None =
     data starting at unpadded offset `offset_bytes`
     (reference: fr32.hpp:344-368 write_unpadded)."""
     if len(padded) % NODE_SIZE != 0:
-        raise ValueError("padded data must be whole 32-byte elements")
+        # partial tail element (exact-bit-length write_padded output):
+        # zero-fill to the element boundary — the missing bits are zero
+        # by the padding invariant
+        pad = NODE_SIZE - len(padded) % NODE_SIZE
+        padded = bytes(padded) + b"\0" * pad
     bits = np.unpackbits(np.frombuffer(padded, dtype=np.uint8), bitorder="little")
     data_bits = bits.reshape(-1, ELEMENT_BITS)[:, :DATA_BITS].reshape(-1)
     raw = np.packbits(data_bits, bitorder="little").tobytes()
@@ -75,6 +86,6 @@ def pad_sector(data: bytes, sector_size: int) -> np.ndarray:
     padded = write_padded(data)
     out = np.zeros((sector_size // NODE_SIZE, NODE_SIZE), dtype=np.uint8)
     if padded:
-        arr = np.frombuffer(padded, dtype=np.uint8).reshape(-1, NODE_SIZE)
-        out[: arr.shape[0]] = arr
+        flat = out.reshape(-1)
+        flat[: len(padded)] = np.frombuffer(padded, dtype=np.uint8)
     return out

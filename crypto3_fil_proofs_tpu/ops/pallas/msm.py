@@ -96,8 +96,23 @@ class _G2Ops:
 
 
 def _bucket_accumulate_soa(ops, points, digits, n_buckets):
-    """Bucket sums via rank passes. digits [W, N] uint32. Returns SoA
-    accumulator pytree with flattened [W * B] lane axis."""
+    """Bucket sums via count-sorted prefix rank passes. digits [W, N]
+    uint32. Returns SoA accumulator pytree with flattened [W * B] lane
+    axis (window-major bucket order).
+
+    Scheduling: bucket lanes are sorted by occupancy (descending) and
+    the rank passes run over a shrinking prefix — phase k covers the
+    first L/2^k lanes for ranks [counts_p[L/2^k_next], ...), so a lane
+    is only ever gathered while it still has points. A single global
+    while_loop pays max_count passes over ALL W*B lanes (gathering
+    clipped junk for exhausted buckets): with uniform mod-r scalars
+    that is ~1.27x the N*W minimum (Poisson max/mean at 2^24/c=16,
+    measured 325 vs 256), and the modulus-skewed TOP window (its digits
+    only reach r>>240) previously needed a replica split to avoid a
+    ~2.2x dense bucket space. Count sorting absorbs any distribution:
+    total gathered rows ~= sum(counts) + staircase overshoot (<4% for
+    Poisson), dead lanes (bucket 0, empty buckets, padding) get zero
+    passes, and no replica machinery is needed."""
     W, N = digits.shape
     B = n_buckets
     order = jnp.argsort(digits, axis=1)
@@ -109,37 +124,79 @@ def _bucket_accumulate_soa(ops, points, digits, n_buckets):
     ends = jax.vmap(
         lambda sd: jnp.searchsorted(sd, bucket_ids, side="right")
     )(sorted_digits).astype(jnp.int32)
-    counts = ends - starts
-    max_count = jnp.max(jnp.where(bucket_ids[None, :] == 0, 0, counts))
+    counts = ends - starts  # [W, B]
+    counts = jnp.where(bucket_ids[None, :] == 0, 0, counts)
 
-    acc = ops.zeros(W * B)
+    WB = W * B
+    order_flat = order.reshape(W * N).astype(jnp.int32)
+    win = jnp.arange(WB, dtype=jnp.int32) // B
+    counts_f = counts.reshape(WB)
+    base_f = win * N + starts.reshape(WB)  # lane -> its run in order_flat
 
-    def body(state):
-        s, acc = state
-        idx = jnp.clip(starts + s, 0, N - 1)
-        valid = (s < counts) & (bucket_ids[None, :] != 0)
-        point_idx = jnp.take_along_axis(order, idx, axis=1).reshape(-1)
-        q = ops.gather(points, point_idx)
-        # fast madd (no doubling path); P==Q lanes are flagged and
-        # doubled out of band only on passes that hit one (rare for
-        # distinct bases)
-        new_acc, same = ops.madd_split(
-            acc, q, valid.reshape(-1).astype(jnp.uint32)
+    # pad the lane space to a power of two >= one kernel block; padding
+    # lanes have count 0 and sort to the tail (never processed)
+    L = max(ops.block, 1 << (WB - 1).bit_length())
+    if L > WB:
+        z = jnp.zeros(L - WB, jnp.int32)
+        counts_f = jnp.concatenate([counts_f, z])
+        base_f = jnp.concatenate([base_f, z])
+
+    perm = jnp.argsort(-counts_f)  # occupancy-descending lane order
+    counts_p = counts_f[perm]
+    base_p = base_f[perm]
+
+    # 4x prefix steps: each phase is a traced madd+dbl kernel pair, so
+    # phase count is compile time; for concentrated (Poisson-ish) count
+    # distributions the staircase overshoot of coarser steps is <1%.
+    prefixes = [L]
+    while prefixes[-1] > ops.block:
+        prefixes.append(max(prefixes[-1] // 4, ops.block))
+
+    def make_body(base_pref, cnt_pref):
+        def body(state):
+            s, a = state
+            idx = jnp.clip(base_pref + s, 0, W * N - 1)
+            q = ops.gather(points, order_flat[idx])
+            # fast madd (no doubling path); P==Q lanes are flagged and
+            # doubled out of band only on passes that hit one (rare
+            # for distinct bases)
+            new_a, same = ops.madd_split(
+                a, q, (s < cnt_pref).astype(jnp.uint32)
+            )
+            a = jax.lax.cond(
+                jnp.any(same != 0),
+                lambda x, m: ops.dbl(x, m),
+                lambda x, m: x,
+                new_a,
+                same,
+            )
+            return s + 1, a
+
+        return body
+
+    acc = ops.zeros(L)  # permuted lane space
+    segments = []  # finished lane ranges, innermost (smallest) last
+    lo = jnp.int32(0)
+    for k, P in enumerate(prefixes):
+        nxt = prefixes[k + 1] if k + 1 < len(prefixes) else None
+        hi = counts_p[0] if nxt is None else counts_p[nxt]
+        hi = jnp.maximum(hi, lo)
+        body = make_body(base_p[:P], counts_p[:P])
+        _, acc = jax.lax.while_loop(
+            lambda st, hi=hi: st[0] < hi,
+            body,
+            (lo, _tmap(lambda t: t[..., :P], acc)),
         )
-        acc = jax.lax.cond(
-            jnp.any(same != 0),
-            lambda a, m: ops.dbl(a, m),
-            lambda a, m: a,
-            new_acc,
-            same,
-        )
-        return s + 1, acc
-
-    def cond(state):
-        return state[0] < max_count
-
-    _, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), acc))
-    return acc
+        if nxt is None:
+            segments.append(acc)
+        else:
+            segments.append(_tmap(lambda t: t[..., nxt:], acc))
+        lo = hi
+    acc_sorted = jax.tree_util.tree_map(
+        lambda *ts: jnp.concatenate(ts[::-1], axis=-1), *segments
+    )
+    inv = jnp.argsort(perm)[:WB]  # back to window-major bucket order
+    return _tmap(lambda t: t[..., inv], acc_sorted)
 
 
 def _aggregate_soa(ops, acc, W, B):
@@ -178,50 +235,23 @@ def _aggregate_soa(ops, acc, W, B):
     )
 
 
-# Scalars are uniform mod r, and r/2^255 ~ 0.452: the TOP c-bit window
-# only ranges over ~45% of [0, 2^c), so its buckets fill ~2.2x denser
-# than every other window's and the rank-pass while_loop runs ~2-3x
-# more trips with 15/16 windows idle (measured: max bucket count 325
-# vs ~100 at 2^22/c=16). Splitting the top window across R replica
-# bucket spaces (point i -> replica i mod R) re-equalizes the max
-# count; the R replica totals are summed back into window W-1 on the
-# host before the Horner combine.
-TOP_REPLICAS = 4
-
-
 def _stages(ops, points, scalars, n_buckets):
+    # The count-sorted accumulate schedule absorbs any digit
+    # distribution (incl. the mod-r-skewed top window that previously
+    # needed a replica split), so digits go in as-is. W*B only needs to
+    # be a kernel-block multiple for the aggregation scans.
     digits = _reslice_digits(scalars, n_buckets).astype(jnp.uint32)
     W = digits.shape[0]
-    if W > 1:
-        lane = jnp.arange(digits.shape[1], dtype=jnp.uint32) % TOP_REPLICAS
-        reps = jnp.stack(
-            [
-                jnp.where(lane == j, digits[-1], 0)
-                for j in range(TOP_REPLICAS)
-            ]
-        )
-        digits = jnp.concatenate([digits[:-1], reps])
-    W_ext = digits.shape[0]
-    # dead all-zero windows keep W*B a multiple of the point-kernel
-    # block (they cost no rank passes and are sliced off the totals)
-    w_pad = 0
-    while ((W_ext + w_pad) * n_buckets) % ops.block:
-        w_pad += 1
-    if w_pad:
-        digits = jnp.concatenate(
-            [digits, jnp.zeros((w_pad, digits.shape[1]), jnp.uint32)]
-        )
+    assert (W * n_buckets) % ops.block == 0, (W, n_buckets, ops.block)
     acc = _bucket_accumulate_soa(ops, points, digits, n_buckets)
-    totals = _aggregate_soa(ops, acc, digits.shape[0], n_buckets)
-    return _tmap(lambda t: t[:, :W_ext], totals)
+    return _aggregate_soa(ops, acc, W, n_buckets)
 
 
 @functools.partial(jax.jit, static_argnames=("n_buckets",))
 def msm_pallas_stages(px, py, scalars, n_buckets=1 << 16):
     """G1 bucket accumulation + aggregation on device. Returns
-    per-window totals as SoA [24, W + TOP_REPLICAS - 1] Jacobian
-    (Montgomery); the last TOP_REPLICAS lanes are partial sums of
-    window W-1."""
+    per-window totals as SoA [24, W] Jacobian (Montgomery), windows
+    ascending."""
     return _stages(_G1Ops, (px, py), scalars, n_buckets)
 
 
@@ -322,13 +352,7 @@ def sum_points_g2(aff_rows):
 
 
 def _combine_host(pts, c, add_fn, inf):
-    """Horner window combine over host points (replica fold included)."""
-    if len(pts) > 1:
-        W = len(pts) - TOP_REPLICAS + 1
-        top = pts[W - 1]
-        for p in pts[W:]:
-            top = add_fn(top, p)
-        pts = pts[: W - 1] + [top]
+    """Horner window combine over host window totals (ascending)."""
     res = inf
     for w in range(len(pts) - 1, -1, -1):
         if w != len(pts) - 1:

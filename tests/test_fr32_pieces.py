@@ -104,3 +104,85 @@ def test_piece_alignment():
     al = get_piece_alignment(127, 254)
     assert al.left_bytes == 127
     assert get_piece_start_byte([127], 254) == 254
+
+
+def test_piece_alignment_reference_table():
+    """Full alignment golden table from the reference's own test suite
+    (reference: libs/filecoin/test/pieces.cpp:97-121
+    test_get_piece_alignment)."""
+    table = [
+        (0, 0, (0, 127)),
+        (0, 127, (0, 0)),
+        (0, 254, (0, 0)),
+        (0, 508, (0, 0)),
+        (0, 1016, (0, 0)),
+        (127, 127, (0, 0)),
+        (127, 254, (127, 0)),
+        (127, 508, (381, 0)),
+        (100, 100, (27, 27)),
+        (200, 200, (54, 54)),
+        (300, 300, (208, 208)),
+    ]
+    for in_sector, in_piece, (left, right) in table:
+        al = get_piece_alignment(in_sector, in_piece)
+        assert (al.left_bytes, al.right_bytes) == (left, right), (
+            in_sector,
+            in_piece,
+        )
+
+
+def test_piece_start_byte_reference_values():
+    """(reference: libs/filecoin/test/pieces.cpp:124-135
+    test_get_piece_start_byte)."""
+    pieces = [31, 32, 33]
+    assert get_piece_start_byte([], pieces[0]) == 0
+    assert get_piece_start_byte(pieces[:1], pieces[1]) == 127
+    assert get_piece_start_byte(pieces[:2], pieces[2]) == 254
+
+
+def test_fr32_padding_golden_bitstreams():
+    """Byte-level fr32 padding goldens from the reference's own test
+    suite (reference: libs/filecoin/test/fr32_reader.cpp:106-133
+    test_simple_single/test_simple_127, :244-275 test_exotic)."""
+    import io
+
+    from crypto3_fil_proofs_tpu.api.fr32_reader import Fr32Reader
+    from crypto3_fil_proofs_tpu.core.fr32 import write_padded
+
+    def padded_of(data: bytes) -> bytes:
+        via_reader = Fr32Reader(io.BytesIO(data)).read()
+        via_write = write_padded(data)
+        assert via_reader == via_write
+        return via_reader
+
+    # 32 bytes of 0xff: bits 254/255 of the first Fr are zero-padding
+    p = padded_of(b"\xff" * 32)
+    assert p[:31] == b"\xff" * 31
+    assert p[31] == 0b0011_1111
+    assert p[32] == 0b0000_0011
+    assert len(p) == 33
+
+    # 127 unpadded bytes -> exactly one 128-byte padded block
+    p = padded_of(b"\xff" * 127)
+    assert p[:31] == b"\xff" * 31
+    assert p[31] == 0b0011_1111
+    assert p[32] == 0b1111_1111
+    assert len(p) == 128
+
+    # the reference's "exotic" stream: increasing values + 0xff/9
+    source = bytes(
+        list(range(1, 32)) + [0xFF] + list(range(1, 32)) + [0xFF, 9, 9, 9, 0xFF]
+    )
+    buf = padded_of(source)
+    for i in range(31):
+        assert buf[i] == i + 1
+    assert buf[31] == 63
+    assert buf[32] == (1 << 2) | 0b11
+    for i in range(33, 63):
+        assert buf[i] == ((i - 31) << 2) & 0xFF
+    assert buf[63] == 0x0F << 2
+    assert buf[64] == 0x0F | (9 << 4)
+    assert buf[65] == 9 << 4
+    assert buf[66] == 9 << 4
+    assert buf[67] == 0xF0
+    assert buf[68] == 0x0F

@@ -92,6 +92,58 @@ def circuit_from_vanilla(pub_params, pub_inputs, proof) -> ConstraintSystem:
     return cs
 
 
+class DrgPoRepCompound:
+    """Compound adapter: DRG vanilla <-> circuit <-> Groth16
+    (reference porep/drg/compound.hpp:41-224 — cache identity,
+    blank circuit for setup, public-input generation). Plugs into
+    core/compound.CompoundProof; DRG proves a single partition."""
+
+    def cache_prefix(self, pub_params: PublicParams) -> str:
+        g = pub_params.graph
+        return (
+            f"drg-proof-of-replication-sha256-{g.size()}-{g.degree()}-"
+            f"{pub_params.challenges_count}"
+        )
+
+    def circuit_from_vanilla(self, pub_params, pub_inputs, partition_proofs, k=0):
+        assert k == 0, "DRG PoRep is single-partition"
+        return circuit_from_vanilla(pub_params, pub_inputs, partition_proofs)
+
+    def blank_circuit(self, pub_params: PublicParams) -> ConstraintSystem:
+        from ..stacked.circuit.compound import blank_merkle_proof
+        from .vanilla import DataProof, Proof as VanillaProof, Tau
+
+        g = pub_params.graph
+        leaves = g.size()
+        z32 = b"\0" * 32
+
+        def blank_dp():
+            return DataProof(
+                proof=blank_merkle_proof(leaves, 2, 0, 0), data=z32
+            )
+
+        count = pub_params.challenges_count
+        proof = VanillaProof(
+            data_root=z32,
+            replica_root=z32,
+            replica_nodes=[blank_dp() for _ in range(count)],
+            replica_parents=[
+                [(0, blank_dp()) for _ in range(g.degree())]
+                for _ in range(count)
+            ],
+            nodes=[blank_dp() for _ in range(count)],
+        )
+        blank_inputs = PublicInputs(
+            replica_id=z32,
+            challenges=[1] * count,
+            tau=Tau(comm_d=z32, comm_r=z32),
+        )
+        return circuit_from_vanilla(pub_params, blank_inputs, proof)
+
+    def generate_public_inputs(self, pub_params, pub_inputs, k=0):
+        return generate_public_inputs(pub_params, pub_inputs)
+
+
 def generate_public_inputs(
     pub_params: PublicParams, pub_inputs: PublicInputs, proof_meta=None
 ) -> list[int]:

@@ -101,3 +101,26 @@ def test_golden_seal_wrong_seed_rejected(golden):
         bytes(32),  # wrong interactive seed -> different challenges
         proof,
     )
+
+
+def test_golden_verify_batch_seal(golden):
+    """verify_batch_seal all-or-nothing semantics over the golden proof
+    (reference: api/seal.hpp verify_batch_seal)."""
+    from crypto3_fil_proofs_tpu.api import seal as api_seal
+
+    config, inputs, proof = golden
+    item = dict(
+        comm_r=bytes.fromhex(inputs["comm_r"]),
+        comm_d=bytes.fromhex(inputs["comm_d"]),
+        prover_id=bytes.fromhex(inputs["prover_id"]),
+        sector_id=inputs["sector_id"],
+        ticket=bytes.fromhex(inputs["ticket"]),
+        seed=bytes.fromhex(inputs["seed"]),
+        proof_bytes=proof,
+    )
+    assert api_seal.verify_batch_seal(config, [item, dict(item)])
+    bad = dict(item)
+    tampered = bytearray(proof)
+    tampered[9] ^= 1
+    bad["proof_bytes"] = bytes(tampered)
+    assert not api_seal.verify_batch_seal(config, [item, bad])

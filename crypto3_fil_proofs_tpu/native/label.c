@@ -228,3 +228,141 @@ void label_layer(const uint8_t replica_id[32], uint32_t layer, uint64_t nodes,
     dst[31] &= 0x3F;
   }
 }
+
+/* ------------------------------------------------------------------------
+ * Expander parents: Blake2b-128 Feistel PRP, cycle-walked over the
+ * nodes*exp_degree domain (reference core/crypto/feistel.hpp:33-181 +
+ * the StackedBucketGraph expander semantics, stacked/vanilla/graph.hpp;
+ * bit-exact vs core/feistel.py). The python loop costs ~20 min at the
+ * 512MiB sector class (16.8M nodes x 8 parents x 3 blake2b rounds);
+ * this kernel is the reference's precomputed parent-cache generator
+ * rebuilt native (stacked/vanilla/cache.hpp:52-165).
+ * ---------------------------------------------------------------------- */
+#include <pthread.h>
+
+static const uint64_t B2B_IV[8] = {
+    0x6a09e667f3bcc908ULL, 0xbb67ae8584caa73bULL, 0x3c6ef372fe94f82bULL,
+    0xa54ff53a5f1d36f1ULL, 0x510e527fade682d1ULL, 0x9b05688c2b3e6c1fULL,
+    0x1f83d9abfb41bd6bULL, 0x5be0cd19137e2179ULL};
+
+static const uint8_t B2B_SIGMA[12][16] = {
+    {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15},
+    {14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3},
+    {11, 8, 12, 0, 5, 2, 15, 13, 10, 14, 3, 6, 7, 1, 9, 4},
+    {7, 9, 3, 1, 13, 12, 11, 14, 2, 6, 5, 10, 4, 0, 15, 8},
+    {9, 0, 5, 7, 2, 4, 10, 15, 14, 1, 11, 12, 6, 8, 3, 13},
+    {2, 12, 6, 10, 0, 11, 8, 3, 4, 13, 7, 5, 15, 14, 1, 9},
+    {12, 5, 1, 15, 14, 13, 4, 10, 0, 7, 6, 3, 9, 2, 8, 11},
+    {13, 11, 7, 14, 12, 1, 3, 9, 5, 0, 15, 4, 8, 6, 2, 10},
+    {6, 15, 14, 9, 11, 3, 0, 8, 12, 2, 13, 7, 1, 4, 10, 5},
+    {10, 2, 8, 4, 7, 6, 1, 5, 15, 11, 9, 14, 3, 12, 13, 0},
+    {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15},
+    {14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3}};
+
+static inline uint64_t rotr64(uint64_t x, int n) {
+  return (x >> n) | (x << (64 - n));
+}
+
+#define B2B_G(a, b, c, d, x, y)                                               \
+  do {                                                                        \
+    v[a] = v[a] + v[b] + (x);                                                 \
+    v[d] = rotr64(v[d] ^ v[a], 32);                                           \
+    v[c] = v[c] + v[d];                                                       \
+    v[b] = rotr64(v[b] ^ v[c], 24);                                           \
+    v[a] = v[a] + v[b] + (y);                                                 \
+    v[d] = rotr64(v[d] ^ v[a], 16);                                           \
+    v[c] = v[c] + v[d];                                                       \
+    v[b] = rotr64(v[b] ^ v[c], 63);                                           \
+  } while (0)
+
+/* one final-block blake2b-128 compression over a 16-byte message */
+static inline uint64_t b2b128_first_word(uint64_t m0, uint64_t m1) {
+  uint64_t m[16] = {m0, m1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0};
+  uint64_t h0 = B2B_IV[0] ^ 0x01010010ULL; /* digest 16, fanout 1, depth 1 */
+  uint64_t v[16];
+  v[0] = h0;
+  for (int i = 1; i < 8; i++) v[i] = B2B_IV[i];
+  for (int i = 0; i < 8; i++) v[8 + i] = B2B_IV[i];
+  v[12] ^= 16;                     /* t = message length */
+  v[14] = ~v[14];                  /* final block */
+  for (int r = 0; r < 12; r++) {
+    const uint8_t *s = B2B_SIGMA[r];
+    B2B_G(0, 4, 8, 12, m[s[0]], m[s[1]]);
+    B2B_G(1, 5, 9, 13, m[s[2]], m[s[3]]);
+    B2B_G(2, 6, 10, 14, m[s[4]], m[s[5]]);
+    B2B_G(3, 7, 11, 15, m[s[6]], m[s[7]]);
+    B2B_G(0, 5, 10, 15, m[s[8]], m[s[9]]);
+    B2B_G(1, 6, 11, 12, m[s[10]], m[s[11]]);
+    B2B_G(2, 7, 8, 13, m[s[12]], m[s[13]]);
+    B2B_G(3, 4, 9, 14, m[s[14]], m[s[15]]);
+  }
+  return h0 ^ v[0] ^ v[8];
+}
+
+static inline uint64_t feistel_round_fn(uint64_t right, uint64_t key,
+                                        uint64_t right_mask) {
+  /* python: blake2b(right_be8 || key_be8, digest_size=16)[0:8] as BE */
+  uint64_t w = b2b128_first_word(__builtin_bswap64(right),
+                                 __builtin_bswap64(key));
+  return __builtin_bswap64(w) & right_mask;
+}
+
+static inline uint64_t feistel_encode_u64(uint64_t index,
+                                          const uint64_t keys[3],
+                                          uint32_t half_bits) {
+  uint64_t right_mask = (half_bits >= 64) ? ~0ULL
+                                          : (((uint64_t)1 << half_bits) - 1);
+  uint64_t left = (index >> half_bits) & right_mask;
+  uint64_t right = index & right_mask;
+  for (int r = 0; r < 3; r++) {
+    uint64_t nl = right;
+    right = left ^ feistel_round_fn(right, keys[r], right_mask);
+    left = nl;
+  }
+  return (left << half_bits) | right;
+}
+
+typedef struct {
+  uint64_t nodes;
+  uint32_t exp_degree;
+  const uint64_t *keys;
+  uint32_t half_bits;
+  uint64_t start, end; /* node range */
+  uint32_t *out;       /* [nodes, exp_degree] row-major */
+} expander_job;
+
+static void *expander_worker(void *arg) {
+  expander_job *j = (expander_job *)arg;
+  uint64_t domain = j->nodes * j->exp_degree;
+  for (uint64_t node = j->start; node < j->end; node++) {
+    uint32_t *row = j->out + node * j->exp_degree;
+    for (uint32_t i = 0; i < j->exp_degree; i++) {
+      uint64_t u = feistel_encode_u64(node * j->exp_degree + i, j->keys,
+                                      j->half_bits);
+      while (u >= domain)
+        u = feistel_encode_u64(u, j->keys, j->half_bits);
+      row[i] = (uint32_t)(u / j->exp_degree);
+    }
+  }
+  return 0;
+}
+
+void expander_parents(uint64_t nodes, uint32_t exp_degree,
+                      const uint64_t *keys, uint32_t half_bits,
+                      uint32_t n_threads, uint32_t *out) {
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > 64) n_threads = 64;
+  pthread_t tids[64];
+  expander_job jobs[64];
+  uint64_t chunk = (nodes + n_threads - 1) / n_threads;
+  uint32_t launched = 0;
+  for (uint32_t t = 0; t < n_threads; t++) {
+    uint64_t s = (uint64_t)t * chunk;
+    if (s >= nodes) break;
+    uint64_t e = s + chunk > nodes ? nodes : s + chunk;
+    jobs[t] = (expander_job){nodes, exp_degree, keys, half_bits, s, e, out};
+    pthread_create(&tids[t], 0, expander_worker, &jobs[t]);
+    launched++;
+  }
+  for (uint32_t t = 0; t < launched; t++) pthread_join(tids[t], 0);
+}

@@ -21,7 +21,7 @@ _tried = False
 
 
 def _build() -> bool:
-    flags = ["-O3", "-shared", "-fPIC", "-march=native"]
+    flags = ["-O3", "-shared", "-fPIC", "-march=native", "-pthread"]
     try:
         subprocess.run(
             ["cc", *flags, _SRC, "-o", _SO], check=True, capture_output=True
@@ -63,6 +63,14 @@ def get_lib():
             ctypes.c_int,
         ]
         lib.label_engine_init.argtypes = [ctypes.c_int]
+        lib.expander_parents.argtypes = [
+            ctypes.c_uint64,
+            ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_uint32,
+            ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
         lib.label_engine_init(1)  # SHA-NI when compiled in
         _lib = lib
     except OSError:
@@ -124,5 +132,27 @@ def sha256_many_native(
         msg_len,
         out.ctypes.data_as(ctypes.c_char_p),
         1 if trim_fr else 0,
+    )
+    return out
+
+
+def expander_parents_native(
+    nodes: int, exp_degree: int, keys: list[int], half_bits: int
+) -> np.ndarray | None:
+    """(nodes, exp_degree) uint32 Feistel expander parent table, or None
+    if the native engine is unavailable (reference parent-cache payload,
+    stacked/vanilla/cache.hpp; bit-exact vs core/feistel.permute)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty((nodes, exp_degree), dtype=np.uint32)
+    karr = (ctypes.c_uint64 * 3)(*[k & 0xFFFFFFFFFFFFFFFF for k in keys[:3]])
+    lib.expander_parents(
+        nodes,
+        exp_degree,
+        karr,
+        half_bits,
+        os.cpu_count() or 1,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
     )
     return out

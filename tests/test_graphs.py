@@ -97,3 +97,26 @@ def test_parent_cache_roundtrip(tmp_path, monkeypatch):
     assert (c2.table() == c1.table()).all()
     assert (c2.read(5) == g.parents(5)).all()
     reset_settings()
+
+
+def test_native_expander_parents_bit_exact():
+    """Native Blake2b Feistel expander table == python feistel.permute
+    (reference stacked/vanilla/cache.hpp parent-cache payload;
+    core/crypto/feistel.hpp round function)."""
+    import numpy as np
+
+    from crypto3_fil_proofs_tpu.models.porep.stacked.vanilla.graph import (
+        StackedBucketGraph,
+    )
+    from crypto3_fil_proofs_tpu.ops.native import expander_parents_native
+
+    g = StackedBucketGraph(nodes=1024, porep_id=bytes([7] * 32))
+    native = expander_parents_native(
+        1024, g.expansion_degree, g.feistel_keys, g.feistel_precomputed[2]
+    )
+    if native is None:
+        import pytest
+
+        pytest.skip("native engine unavailable")
+    py = np.stack([g.expanded_parents(n) for n in range(1024)])
+    assert (native == py).all()

@@ -47,7 +47,7 @@ def _gather_roofline(n_buckets: int) -> float:
     return GATHER_ROWS_PER_S / windows
 
 
-def _bench_poseidon():
+def _bench_poseidon(arity: int = 8, iters: int = 4):
     import jax
 
     from crypto3_fil_proofs_tpu.ops.devsync import fetch_sync
@@ -65,16 +65,17 @@ def _bench_poseidon():
 
     batch = 1 << 17
     rng = np.random.default_rng(0)
-    raw = rng.integers(0, 1 << 16, size=(batch * 8, FR.n), dtype=np.uint32)
+    raw = rng.integers(0, 1 << 16, size=(batch * arity, FR.n), dtype=np.uint32)
     nodes = jax.numpy.asarray(raw)
 
     # chain iterations (output tiled back to input size) so the device
     # cannot memoize identical calls; fetch-sync is the hard barrier
-    fn = jax.jit(lambda x: jax.numpy.tile(hash_level(x, 8), (8, 1)))
+    fn = jax.jit(
+        lambda x: jax.numpy.tile(hash_level(x, arity), (arity, 1))
+    )
     state = fn(nodes)
     fetch_sync(state)  # compile
     t0 = time.perf_counter()
-    iters = 4
     for _ in range(iters):
         state = fn(state)
     fetch_sync(state)
@@ -154,6 +155,12 @@ def _inner():
     print(json.dumps(payload), flush=True)
     payload["poseidon_rate"] = _bench_poseidon()
     print(json.dumps(payload), flush=True)
+    # production tree_c column hash (arity 11 = LAYERS at 32/64 GiB)
+    try:
+        payload["poseidon11_rate"] = _bench_poseidon(arity=11, iters=2)
+    except Exception as exc:
+        payload["poseidon11_error"] = str(exc)[-200:]
+    print(json.dumps(payload), flush=True)
     logn2 = int(os.environ.get("FIL_PROOFS_BENCH_LOGN2", "24"))
     on_tpu = jax.default_backend() != "cpu"
     if on_tpu and logn2 and logn2 != LOGN:
@@ -219,6 +226,10 @@ def main():
         if inner.get("poseidon_rate"):
             result["extra"]["poseidon8_tree_hashes_per_sec"] = round(
                 inner["poseidon_rate"], 1
+            )
+        if inner.get("poseidon11_rate"):
+            result["extra"]["poseidon11_column_hashes_per_sec"] = round(
+                inner["poseidon11_rate"], 1
             )
         if inner.get("tpu_msm_rate2"):
             result["extra"][

@@ -107,8 +107,10 @@ def unseal_range(
     replica_id = generate_replica_id(
         prover_id, sector_id, ticket, comm_d, config.porep_id
     )
+    from ..models.porep.stacked.vanilla.cache import ParentCache
+
     decoded = StackedDrg.extract_and_invert_transform_layers(
-        pp, replica_id, replica
+        pp, replica_id, replica, parent_cache=ParentCache(pp.graph)
     )
     unpadded = write_unpadded(decoded.tobytes())
     max_bytes = to_unpadded_bytes(config.sector_size)

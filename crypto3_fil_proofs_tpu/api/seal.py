@@ -120,9 +120,17 @@ def seal_pre_commit_phase1(
     # to its DiskStore file as it finishes (reference proof.hpp:311-313,
     # 339-354) — peak RAM ~2 sectors regardless of layer count
     layer_paths = [_layer_path(cache_path, l) for l in range(1, pp.layers + 1)]
+    from ..models.porep.stacked.vanilla.cache import ParentCache
+
     with measure_op("generate_labels"):
         StackedDrg.generate_labels_streamed(
-            pp.graph, pp.layers, replica_id, layer_paths
+            pp.graph,
+            pp.layers,
+            replica_id,
+            layer_paths,
+            # disk-backed parent table, generated once per graph identity
+            # and mmapped on reuse (reference cache.hpp:52-252)
+            parent_cache=ParentCache(pp.graph),
         )
 
     return SealPreCommitPhase1Output(

@@ -308,14 +308,22 @@ def hash_level_mont(nodes: jnp.ndarray, arity: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+# The Montgomery conversions MUST be jitted: eager dispatch traces the
+# ~250-op CIOS chain as individual device calls, and over the remote
+# TPU tunnel each eager op is a round trip — the 512 MiB PC2 spent an
+# hour in to_mont/from_mont round trips for seconds of actual hashing.
+_to_mont_jit = jax.jit(fr_ops.to_mont)
+_from_mont_jit = jax.jit(fr_ops.from_mont)
+
+
 def bytes_to_mont(nodes_u8: np.ndarray) -> jnp.ndarray:
     """(N, 32) LE uint8 field elements -> Montgomery limb array on device."""
     limbs = FR.bytes_to_limbs(np.ascontiguousarray(nodes_u8))
-    return fr_ops.to_mont(jnp.asarray(limbs))
+    return _to_mont_jit(jnp.asarray(limbs))
 
 
 def mont_to_bytes(limbs: jnp.ndarray) -> np.ndarray:
-    return FR.limbs_to_bytes(np.asarray(fr_ops.from_mont(limbs)))
+    return FR.limbs_to_bytes(np.asarray(_from_mont_jit(limbs)))
 
 
 class JaxPoseidonBackend:

@@ -312,18 +312,29 @@ def hash_level_mont(nodes: jnp.ndarray, arity: int) -> jnp.ndarray:
 # ~250-op CIOS chain as individual device calls, and over the remote
 # TPU tunnel each eager op is a round trip — the 512 MiB PC2 spent an
 # hour in to_mont/from_mont round trips for seconds of actual hashing.
-_to_mont_jit = jax.jit(fr_ops.to_mont)
-_from_mont_jit = jax.jit(fr_ops.from_mont)
+# Transfers move packed uint16 limbs (32 B/element, the wire-minimal
+# form); widening to the uint32 compute lanes happens on device.
+@jax.jit
+def _u16_to_mont(limbs_u16: jnp.ndarray) -> jnp.ndarray:
+    return fr_ops.to_mont(limbs_u16.astype(jnp.uint32))
+
+
+@jax.jit
+def _mont_to_u16(limbs: jnp.ndarray) -> jnp.ndarray:
+    return fr_ops.from_mont(limbs).astype(jnp.uint16)
 
 
 def bytes_to_mont(nodes_u8: np.ndarray) -> jnp.ndarray:
     """(N, 32) LE uint8 field elements -> Montgomery limb array on device."""
-    limbs = FR.bytes_to_limbs(np.ascontiguousarray(nodes_u8))
-    return _to_mont_jit(jnp.asarray(limbs))
+    u16 = np.ascontiguousarray(nodes_u8).view("<u2")
+    return _u16_to_mont(jnp.asarray(u16))
 
 
 def mont_to_bytes(limbs: jnp.ndarray) -> np.ndarray:
-    return FR.limbs_to_bytes(np.asarray(_from_mont_jit(limbs)))
+    u16 = np.asarray(_mont_to_u16(limbs))
+    return np.ascontiguousarray(u16).view(np.uint8).reshape(
+        *limbs.shape[:-1], FR.n * 2
+    )
 
 
 class JaxPoseidonBackend:

@@ -102,6 +102,15 @@ def get_backend(name: str):
     Pallas level builder on TPU when use_tpu_tree_builder is set (the
     reference's GPU tree/column builder switch, configuration.hpp:50-56);
     the host path remains the golden reference and the CPU-CI default."""
+    if name == "poseidon" and "poseidon-pallas" not in _BACKENDS:
+        # the accelerated backends self-register on import; consumers
+        # that never imported ops.poseidon_jax (standalone seal/PoSt
+        # entry points) must still get them — the silent host-python
+        # fallback hashed a 512MiB tree_c at ~3k hashes/s
+        try:
+            from . import poseidon_jax  # noqa: F401
+        except Exception:
+            pass
     if name == "poseidon" and "poseidon-pallas" in _BACKENDS:
         from ..core.settings import settings
 

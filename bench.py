@@ -161,6 +161,33 @@ def _inner():
     except Exception as exc:
         payload["poseidon11_error"] = str(exc)[-200:]
     print(json.dumps(payload), flush=True)
+    # radix-2 NTT at 2^20 (BASELINE config #2: the Groth16 QAP h(x) size)
+    try:
+        payload["ntt_2e20_ms"] = _bench_ntt(20)
+    except Exception as exc:
+        payload["ntt_error"] = str(exc)[-200:]
+    print(json.dumps(payload), flush=True)
+
+
+def _bench_ntt(log_n: int) -> float:
+    import jax
+
+    from crypto3_fil_proofs_tpu.ops import ntt as ntt_mod
+    from crypto3_fil_proofs_tpu.ops.devsync import fetch_sync
+    from crypto3_fil_proofs_tpu.ops.fr_limbs import FR
+
+    rng = np.random.default_rng(2)
+    a = jax.numpy.asarray(
+        rng.integers(0, 1 << 14, size=(1 << log_n, FR.n), dtype=np.uint32)
+    )
+    out = ntt_mod.ntt(a, log_n)
+    fetch_sync(out)  # compile
+    t0 = time.perf_counter()
+    iters = 3
+    for _ in range(iters):
+        out = ntt_mod.ntt(out, log_n)
+    fetch_sync(out)
+    return round((time.perf_counter() - t0) / iters * 1e3, 1)
     logn2 = int(os.environ.get("FIL_PROOFS_BENCH_LOGN2", "24"))
     on_tpu = jax.default_backend() != "cpu"
     if on_tpu and logn2 and logn2 != LOGN:
@@ -231,6 +258,8 @@ def main():
             result["extra"]["poseidon11_column_hashes_per_sec"] = round(
                 inner["poseidon11_rate"], 1
             )
+        if inner.get("ntt_2e20_ms"):
+            result["extra"]["ntt_2e20_ms"] = inner["ntt_2e20_ms"]
         if inner.get("tpu_msm_rate2"):
             result["extra"][
                 f"msm_logn{inner['logn2']}_points_per_sec"

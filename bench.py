@@ -32,7 +32,7 @@ CPU_LOGN = int(os.environ.get("FIL_PROOFS_BENCH_CPU_LOGN", "18"))
 
 # One bucket-window configuration shared by the bench kernel and the
 # analytic roofline below (keep in sync or the roofline silently lies).
-MSM_BUCKETS = 1 << 16
+MSM_BUCKETS = 1 << int(os.environ.get("FIL_PROOFS_BENCH_C", "16"))
 # Measured isolated bucket-fill gather throughput on v5e (x+y plane
 # gathers of 2^20 rows from a 2^22-point table, 2026-08 probe: ~11.5M
 # rows/s; descriptor-bound, not width-bound). Each point is gathered
@@ -167,6 +167,17 @@ def _inner():
     except Exception as exc:
         payload["ntt_error"] = str(exc)[-200:]
     print(json.dumps(payload), flush=True)
+    # secondary MSM size (north-star 2^24) — last so a stall can only
+    # cost this leg
+    logn2 = int(os.environ.get("FIL_PROOFS_BENCH_LOGN2", "24"))
+    on_tpu = jax.default_backend() != "cpu"
+    if on_tpu and logn2 and logn2 != LOGN:
+        try:
+            payload["tpu_msm_rate2"] = _bench_msm(logn2, iters=1)
+            payload["logn2"] = logn2
+        except Exception as exc:  # secondary leg must not kill headline
+            payload["logn2_error"] = str(exc)[-200:]
+    print(json.dumps(payload), flush=True)
 
 
 def _bench_ntt(log_n: int) -> float:
@@ -188,15 +199,6 @@ def _bench_ntt(log_n: int) -> float:
         out = ntt_mod.ntt(out, log_n)
     fetch_sync(out)
     return round((time.perf_counter() - t0) / iters * 1e3, 1)
-    logn2 = int(os.environ.get("FIL_PROOFS_BENCH_LOGN2", "24"))
-    on_tpu = jax.default_backend() != "cpu"
-    if on_tpu and logn2 and logn2 != LOGN:
-        try:
-            payload["tpu_msm_rate2"] = _bench_msm(logn2, iters=1)
-            payload["logn2"] = logn2
-        except Exception as exc:  # secondary leg must not kill headline
-            payload["logn2_error"] = str(exc)[-200:]
-    print(json.dumps(payload), flush=True)
 
 
 def main():

@@ -131,17 +131,35 @@ def _combine_windows(totals, c, curve):
 
 
 def _reslice_digits(scalars, n_buckets):
-    """Extract c-bit windows for c <= 16 (c must divide 16)."""
+    """Extract c-bit windows from [N, 16] uint32 16-bit-limb scalars.
+
+    Any c <= 31 (not just divisors of 16): window w covers scalar bits
+    [w*c, w*c + c), assembled from the <=3 limbs it straddles. All
+    shift amounts stay < 32 and every discarded carry is above bit c,
+    so plain uint32 arithmetic is exact. Returns [W, N], windows
+    ascending, W = ceil(255/c)."""
     c = int(n_buckets).bit_length() - 1
     if c == 16:
         return scalars.T
-    assert 16 % c == 0
     mask = jnp.uint32(n_buckets - 1)
+    n_limbs = scalars.shape[1]
     parts = []
-    for limb in range(scalars.shape[1]):
-        for k in range(16 // c):
-            parts.append((scalars[:, limb] >> (c * k)) & mask)
-    return jnp.stack(parts)  # [W, N] ascending windows
+    if 16 % c == 0:
+        for limb in range(n_limbs):
+            for k in range(16 // c):
+                parts.append((scalars[:, limb] >> (c * k)) & mask)
+        return jnp.stack(parts)  # [W, N] ascending windows
+    assert c < 32
+    for w in range(-(-255 // c)):
+        lo = w * c
+        li, off = lo // 16, lo % 16
+        v = scalars[:, li] >> off
+        if off + c > 16 and li + 1 < n_limbs:
+            v = v | (scalars[:, li + 1] << (16 - off))
+        if off + c > 32 and li + 2 < n_limbs:
+            v = v | (scalars[:, li + 2] << (32 - off))
+        parts.append(v & mask)
+    return jnp.stack(parts)
 
 
 @functools.partial(jax.jit, static_argnames=("n_buckets", "curve_name"))

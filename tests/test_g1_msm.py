@@ -153,3 +153,21 @@ def test_msm_g1_native_staged_matches_naive(rng_seed):
         scalars,
     )
     assert g1_eq(got, want)
+
+
+@pytest.mark.parametrize("c", [4, 8, 16, 20, 21, 22])
+def test_reslice_digits_any_c(rng_seed, c):
+    """Window extraction for arbitrary c must match big-int windowing
+    (limb-straddling assembly; used by the generalized-window Pallas
+    MSM, reference compound_proof.hpp prove -> bucket method)."""
+    rng = random.Random(rng_seed + c)
+    scalars = [rng.randrange(R) for _ in range(64)] + [0, 1, R - 1]
+    dev = msm_mod.scalars_to_device(scalars)
+    digits = np.asarray(msm_mod._reslice_digits(dev, 1 << c))
+    W = digits.shape[0]
+    assert W * c >= 255
+    for i, s in enumerate(scalars):
+        for w in range(W):
+            assert digits[w, i] == (s >> (w * c)) & ((1 << c) - 1), (
+                c, i, w,
+            )

@@ -133,9 +133,9 @@ def _bucket_accumulate_soa(ops, points, digits, n_buckets):
     counts_f = counts.reshape(WB)
     base_f = win * N + starts.reshape(WB)  # lane -> its run in order_flat
 
-    # pad the lane space to a power of two >= one kernel block; padding
-    # lanes have count 0 and sort to the tail (never processed)
-    L = max(ops.block, 1 << (WB - 1).bit_length())
+    # pad the lane space to a kernel-block multiple; padding lanes have
+    # count 0 and sort to the tail (never processed)
+    L = max(ops.block, -(-WB // ops.block) * ops.block)
     if L > WB:
         z = jnp.zeros(L - WB, jnp.int32)
         counts_f = jnp.concatenate([counts_f, z])
@@ -145,12 +145,14 @@ def _bucket_accumulate_soa(ops, points, digits, n_buckets):
     counts_p = counts_f[perm]
     base_p = base_f[perm]
 
-    # 4x prefix steps: each phase is a traced madd+dbl kernel pair, so
-    # phase count is compile time; for concentrated (Poisson-ish) count
-    # distributions the staircase overshoot of coarser steps is <1%.
+    # 4x prefix steps (rounded up to block multiples): each phase is a
+    # traced madd+dbl kernel pair, so phase count is compile time; for
+    # concentrated (Poisson-ish) count distributions the staircase
+    # overshoot of coarser steps is <1%.
     prefixes = [L]
     while prefixes[-1] > ops.block:
-        prefixes.append(max(prefixes[-1] // 4, ops.block))
+        nxt = -(-(prefixes[-1] // 4) // ops.block) * ops.block
+        prefixes.append(max(nxt, ops.block))
 
     def make_body(base_pref, cnt_pref):
         def body(state):
@@ -199,6 +201,31 @@ def _bucket_accumulate_soa(ops, points, digits, n_buckets):
     return _tmap(lambda t: t[..., inv], acc_sorted)
 
 
+def _add_padded(ops, a, b):
+    """Lanewise full add tolerant of non-block-multiple lane counts:
+    pads both operands with all-zero (Z=0 = infinity) lanes, which the
+    add kernels pass through, then slices the result back."""
+    m = jax.tree_util.tree_leaves(a)[0].shape[-1]
+    M = max(ops.block, -(-m // ops.block) * ops.block)
+    if M != m:
+        pad = lambda t: jnp.pad(t, ((0, 0), (0, M - m)))
+        a = _tmap(pad, a)
+        b = _tmap(pad, b)
+    out = ops.add(a, b)
+    if M != m:
+        out = _tmap(lambda t: t[..., :m], out)
+    return out
+
+
+def _dbl_padded(ops, p):
+    """Lanewise double with the same zero-lane padding contract."""
+    m = jax.tree_util.tree_leaves(p)[0].shape[-1]
+    M = max(ops.block, -(-m // ops.block) * ops.block)
+    pp = _tmap(lambda t: jnp.pad(t, ((0, 0), (0, M - m))), p) if M != m else p
+    out = ops.dbl(pp, jnp.ones(M, jnp.uint32))
+    return _tmap(lambda t: t[..., :m], out) if M != m else out
+
+
 def _aggregate_soa(ops, acc, W, B):
     """sum_b b * S_b per window (suffix scan + prefix reduce), acc SoA
     pytree with [W * B] lanes. Returns pytree with [W] lanes."""
@@ -208,8 +235,8 @@ def _aggregate_soa(ops, acc, W, B):
         d = jnp.int32(1) << i
         shifted = _tmap(
             lambda t: jnp.roll(
-                t.reshape(N_LIMBS, W, B), -direction * d, axis=2
-            ).reshape(N_LIMBS, W * B),
+                t.reshape(t.shape[0], W, B), -direction * d, axis=2
+            ).reshape(t.shape[0], W * B),
             state,
         )
         if direction > 0:
@@ -218,7 +245,7 @@ def _aggregate_soa(ops, acc, W, B):
             in_range = pos - d >= 0
         mask = jnp.broadcast_to(in_range[None, :], (W, B)).reshape(-1)
         shifted = ops.zero_z(shifted, mask)
-        return ops.add(state, shifted)
+        return _add_padded(ops, state, shifted)
 
     log_b = B.bit_length() - 1
     state = acc
@@ -231,8 +258,66 @@ def _aggregate_soa(ops, acc, W, B):
     for i in range(log_b):
         state = shift_add(state, i, -1)
     return _tmap(
-        lambda t: t.reshape(N_LIMBS, W, B)[:, :, B - 1], state
+        lambda t: t.reshape(t.shape[0], W, B)[:, :, B - 1], state
     )
+
+
+def _tree_reduce_inner(ops, acc, outer, inner):
+    """Reduce [24, outer*inner] lane planes over the contiguous inner
+    axis by repeated halving — lanewise adds only, no gathers."""
+    m = inner
+    while m > 1:
+        h = m // 2
+        cut = lambda t, s, m=m: t.reshape(t.shape[0], outer, m)[
+            :, :, s
+        ].reshape(t.shape[0], -1)
+        acc = _add_padded(
+            ops,
+            _tmap(lambda t: cut(t, slice(0, h)), acc),
+            _tmap(lambda t: cut(t, slice(h, None)), acc),
+        )
+        m = h
+    return acc  # [24, outer]
+
+
+def _tree_reduce_mid(ops, acc, W, mid, inner):
+    """Reduce [24, W*mid*inner] lane planes over the middle axis."""
+    m = mid
+    while m > 1:
+        h = m // 2
+        cut = lambda t, s, m=m: t.reshape(t.shape[0], W, m, inner)[
+            :, :, s
+        ].reshape(t.shape[0], -1)
+        acc = _add_padded(
+            ops,
+            _tmap(lambda t: cut(t, slice(0, h)), acc),
+            _tmap(lambda t: cut(t, slice(h, None)), acc),
+        )
+        m = h
+    return acc  # [24, W*inner]
+
+
+def _aggregate_split(ops, acc, W, B):
+    """sum_b b*S_b per window via the hi/lo digit split.
+
+    With b = hi*Blo + lo:  sum_b b*S_b
+        = Blo * sum_hi hi*T_hi + sum_lo lo*U_lo,
+      T_hi = sum_lo S[hi,lo]   (contiguous tree reduce over lo)
+      U_lo = sum_hi S[hi,lo]   (tree reduce over hi)
+    Cost ~2*W*B lanewise adds + two sqrt(B)-scale suffix scans +
+    log2(Blo) doublings on W lanes, vs 2*log2(B)*W*B adds for the flat
+    scan (_aggregate_soa) — ~16x fewer adds at B=2^16, and the only
+    formulation that keeps large-c windows (B >= 2^20) feasible."""
+    log_b = B.bit_length() - 1
+    h_lo = log_b // 2
+    Blo, Bhi = 1 << h_lo, 1 << (log_b - h_lo)
+    T = _tree_reduce_inner(ops, acc, W * Bhi, Blo)  # [24, W*Bhi]
+    U = _tree_reduce_mid(ops, acc, W, Bhi, Blo)  # [24, W*Blo]
+    hi_tot = _aggregate_soa(ops, T, W, Bhi)  # sum_hi hi*T_hi, [24, W]
+    lo_tot = _aggregate_soa(ops, U, W, Blo)  # sum_lo lo*U_lo, [24, W]
+    for _ in range(h_lo):  # Blo * hi_tot
+        hi_tot = _dbl_padded(ops, hi_tot)
+    return _add_padded(ops, hi_tot, lo_tot)
 
 
 def _stages(ops, points, scalars, n_buckets):
@@ -242,8 +327,9 @@ def _stages(ops, points, scalars, n_buckets):
     # be a kernel-block multiple for the aggregation scans.
     digits = _reslice_digits(scalars, n_buckets).astype(jnp.uint32)
     W = digits.shape[0]
-    assert (W * n_buckets) % ops.block == 0, (W, n_buckets, ops.block)
     acc = _bucket_accumulate_soa(ops, points, digits, n_buckets)
+    if n_buckets >= (1 << 12):
+        return _aggregate_split(ops, acc, W, n_buckets)
     return _aggregate_soa(ops, acc, W, n_buckets)
 
 

@@ -100,6 +100,22 @@ def main():
     uniform2 = [rng.randrange(R) for _ in range(m)]
     all_ok &= check_g2(m, uniform2, 256, "uniform mod-r")
 
+    # split (hi/lo) aggregation path: engaged at n_buckets >= 2^12
+    all_ok &= check_g1(n, uniform, 1 << 16, "uniform split-agg")
+    all_ok &= check_g1(n, zeros, 1 << 16, "zero/edge split-agg")
+    all_ok &= check_g1(n, dense, 1 << 16, "dense split-agg")
+    all_ok &= check_g2(m, uniform2, 1 << 16, "uniform split-agg")
+
+    if "--anyc" in sys.argv:
+        # non-byte-aligned windows (odd split: Bhi != Blo at c=21).
+        # NOTE: c=20 allocates 13 windows x 2^20 bucket lanes (~4 GB of
+        # Jacobian accumulators + transients) — RESOURCE_EXHAUSTED on a
+        # 16 GB v5e alongside the points; and at low bucket occupancy
+        # the count-staircase overshoot cancels the 16->13 window win,
+        # so production stays at c=16 (PLAN.md MSM endgame analysis).
+        all_ok &= check_g1(n, uniform, 1 << 20, "uniform c=20")
+        all_ok &= check_g1(n, uniform, 1 << 21, "uniform c=21")
+
     if "--big" in sys.argv:
         for logn in (22, 24):
             n = 1 << logn

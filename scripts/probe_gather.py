@@ -13,8 +13,11 @@ formulation:
 
 Usage: python scripts/probe_gather.py [log_table] [log_rows]
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

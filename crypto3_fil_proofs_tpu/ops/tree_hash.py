@@ -111,6 +111,13 @@ def get_backend(name: str):
             from . import poseidon_jax  # noqa: F401
         except Exception:
             pass
+    if name == "pedersen" and name not in _BACKENDS:
+        # legacy hasher (reference pedersen.hpp is an empty stub;
+        # implemented over Jubjub in ops/pedersen.py) — lazy so the
+        # generator derivation never taxes the hot paths
+        from .pedersen import PedersenBackend
+
+        _BACKENDS[name] = PedersenBackend()
     if name == "poseidon" and "poseidon-pallas" in _BACKENDS:
         from ..core.settings import settings
 

@@ -110,3 +110,37 @@ def test_tree_backend_level_matches_single():
         lvl4[0].tobytes()
         == ped.pedersen_md_no_padding(nodes[:4].tobytes()).to_bytes(32, "little")
     )
+
+
+def test_pedersen_circuit_matches_vanilla(rng_seed):
+    from crypto3_fil_proofs_tpu.zk.gadgets.boolean import Boolean
+    from crypto3_fil_proofs_tpu.zk.gadgets.pedersen import pedersen_hash_circuit
+    from crypto3_fil_proofs_tpu.zk.r1cs import ConstraintSystem
+
+    rng = np.random.default_rng(rng_seed)
+    for nbytes in (32, 64):
+        data = rng.integers(0, 256, size=nbytes, dtype=np.uint8).tobytes()
+        cs = ConstraintSystem()
+        bits = [Boolean.alloc(cs, b) for b in ped.bytes_to_bits(data)]
+        digest = pedersen_hash_circuit(cs, bits)
+        assert digest.value == ped.pedersen_hash(data)
+        assert cs.is_satisfied()
+
+
+def test_pedersen_circuit_tamper_rejected(rng_seed):
+    from crypto3_fil_proofs_tpu.zk.gadgets.boolean import Boolean
+    from crypto3_fil_proofs_tpu.zk.gadgets.pedersen import pedersen_hash_circuit
+    from crypto3_fil_proofs_tpu.zk.r1cs import ConstraintSystem
+    from crypto3_fil_proofs_tpu.zk.r1cs import LinearCombination, lc_one
+
+    cs = ConstraintSystem()
+    bits = [Boolean.alloc(cs, b) for b in ped.bytes_to_bits(b"\x05" * 32)]
+    digest = pedersen_hash_circuit(cs, bits)
+    # pin the digest to a wrong constant: system must become unsatisfiable
+    cs.enforce(
+        digest.lc() - LinearCombination.constant((digest.value + 1) % ped.Q),
+        lc_one(),
+        LinearCombination(),
+        "pin_wrong",
+    )
+    assert not cs.is_satisfied()

@@ -18,7 +18,12 @@ from crypto3_fil_proofs_tpu.core.por import (
 )
 
 
-@pytest.mark.parametrize("backend,arity", [("poseidon", 8), ("sha256", 2)])
+@pytest.mark.parametrize(
+    "backend,arity",
+    # hasher x arity matrix, reference test/core/por.cpp:30-96 (its
+    # PedersenHasher leg consumed the stubbed pedersen.hpp; ours is real)
+    [("poseidon", 8), ("sha256", 2), ("pedersen", 2), ("pedersen", 4)],
+)
 def test_por_roundtrip(backend, arity, rng_seed):
     rng = np.random.default_rng(rng_seed)
     leaves = rng.integers(0, 64, size=(arity**2, 32), dtype=np.uint8)

@@ -244,6 +244,11 @@ class PedersenBackend:
 
     def hash_single(self, children: list[bytes]) -> bytes:
         data = b"".join(children)
+        # Node payloads are whole 32-byte field elements; reject
+        # malformed buffers up front (pedersen_md_no_padding would
+        # assert on them anyway — ADVICE r3).
+        if len(data) < 32 or len(data) % 32:
+            raise ValueError(f"pedersen node payload must be k*32 bytes, got {len(data)}")
         if len(data) <= 64:
             digest = pedersen_hash(data)
         else:

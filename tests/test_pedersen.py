@@ -144,3 +144,41 @@ def test_pedersen_circuit_tamper_rejected(rng_seed):
         "pin_wrong",
     )
     assert not cs.is_satisfied()
+
+
+def test_pedersen_generators_pinned_external():
+    """ADVICE r3: pinned vectors. Generator 0 equals Zcash's published
+    PEDERSEN_HASH_GENERATORS[0] (librustzcash zcash_primitives constants,
+    u-coordinate externally confirmed); generators 1-3 and the digests
+    are frozen from the same BLAKE2s "Zcash_PH" GroupHash derivation so
+    any regression in GroupHash/encoding trips immediately rather than
+    being re-derived by the test with the implementation's own formula."""
+    pinned = [
+        (
+            0x73C016A42DED9578B5EA25DE7EC0E3782F0C718F6F0FBADD194E42926F661B51,
+            0x289E87A2D3521B5779C9166B837EDC5EF9472E8BC04E463277BFABD432243CCA,
+        ),
+        (
+            0x15A36D1F0F390D8852A35A8C1908DD87A361EE3FD48FDF77B9819DC82D90607E,
+            0x015D8C7F5B43FE33F7891142C001D9251F3ABEEB98FAD3E87B0DC53C4EBF1891,
+        ),
+        (
+            0x664321A58246E2F6EB69AE39F5C84210BAE8E5C46641AE5C76D6F7C2B67FC475,
+            0x362E1500D24EEE9EE000A46C8E8CE8538BB22A7F1784B49880ED502C9793D457,
+        ),
+        (
+            0x323A6548CE9D9876EDC5F4A9CFF29FD57D02D50E654B87F24C767804C1C4A2CC,
+            0x2F7EE40C4B56CAD891070ACBD8D947B75103AFA1A11F6A8584714BECA33570E9,
+        ),
+    ]
+    for i, (x, y) in enumerate(pinned):
+        assert ped.pedersen_generator(i) == (x, y), f"generator {i} drifted"
+
+
+def test_pedersen_hash_frozen_vectors():
+    assert ped.pedersen_hash(b"\x01" * 64) == (
+        0x61604968258B66EEE5323997D8D6F3FD22E0F75C65A8B58B5ACA7A3090733B6F
+    )
+    assert ped.pedersen_hash(b"abc" + b"\x00" * 61) == (
+        0x712FC298A5FB29D98702ABDB4C008BB5C23D0E7C2CA51FB7AE71942B6A7F39A5
+    )

@@ -4,12 +4,20 @@ from crypto3_fil_proofs_tpu.ops.bls12_381 import R
 
 
 def test_round_numbers_match_known_values():
-    # Known (R_F, R_P) for BLS12-381 Fr, 128-bit security, x^5 sbox
-    # (neptune round_numbers table for widths 3/5/9/12/37).
+    """EXTERNAL ANCHOR: (R_F, R_P) for BLS12-381 Fr, 128-bit security,
+    x^5 sbox, pinned to the published known-values table in neptune
+    (filecoin's Poseidon) `src/round_numbers.rs` test
+    `round_numbers_matches_known_values`:
+    arity (full, partial) = (2,(8,55)) (4,(8,56)) (8,(8,57))
+    (11,(8,57)) (16,(8,59)) (24,(8,59)) (36,(8,60)).
+    A wrong security-inequality term or margin in round_numbers()
+    cannot reproduce this whole table."""
     assert pos.round_numbers(2) == (8, 55)
     assert pos.round_numbers(4) == (8, 56)
     assert pos.round_numbers(8) == (8, 57)
     assert pos.round_numbers(11) == (8, 57)
+    assert pos.round_numbers(16) == (8, 59)
+    assert pos.round_numbers(24) == (8, 59)
     assert pos.round_numbers(36) == (8, 60)
 
 

@@ -78,7 +78,8 @@ class FallbackPoStCompound:
             k=0,
         )
         return circ.circuit_from_vanilla(
-            pub_params, blank_inputs, blank_partition_proof(pub_params, self.shape), 0
+            pub_params, blank_inputs,
+            blank_partition_proof(pub_params, self.shape), 0, blank=True,
         )
 
     def generate_public_inputs(self, pub_params, pub_inputs, k):

@@ -41,27 +41,27 @@ POS_BLOCK = POS_ROWS * 128
 _mask = LIMB_MASK
 
 
-def _montmul_val_ref(a, b_ref):
-    """CIOS with `a` an in-kernel [16, R, 128] value and `b_ref` a VMEM
-    ref sliced one limb per iteration (same math as pallas/field.py)."""
-    t = jnp.zeros((N_LIMBS + 1,) + a.shape[1:], dtype=jnp.uint32)
-    zrow = jnp.zeros_like(t[:1])
-
-    def body(i, t):
-        bi = b_ref[pl.ds(i, 1)][0]
-        prod = a * bi
-        t0 = t[0] + (prod[0] & _mask)
+def _cios_rowwise(a, limb_at):
+    """Unrolled CIOS over per-column row values: `a` a [16, R, 128]
+    value, `limb_at(i)` yields multiplier limb i ([R, 128] or scalar).
+    The running accumulator is a LIST of 17 column rows, so the
+    column-shift between iterations is SSA relabeling and each partial
+    product costs exactly its 2x16 aligned row adds — the r3 stacked
+    version paid two 17-row concatenate adds plus a 17-row shift copy
+    per iteration (~30% more VPU work)."""
+    t = [jnp.zeros_like(a[0]) for _ in range(N_LIMBS + 1)]
+    for i in range(N_LIMBS):
+        bi = limb_at(i)
+        t0 = t[0] + ((a[0] * bi) & _mask)
         m = (t0 * jnp.uint32(N0INV)) & _mask
-        q = jnp.stack([m * jnp.uint32(pj) for pj in P_LIMBS], axis=0)
-        lo = (prod & _mask) + (q & _mask)
-        hi = (prod >> LIMB_BITS) + (q >> LIMB_BITS)
-        t = t + jnp.concatenate([lo, zrow], axis=0)
-        t = t + jnp.concatenate([zrow, hi], axis=0)
+        for j in range(N_LIMBS):
+            prod = a[j] * bi
+            q = m * jnp.uint32(P_LIMBS[j])
+            t[j] = t[j] + ((prod & _mask) + (q & _mask))
+            t[j + 1] = t[j + 1] + ((prod >> LIMB_BITS) + (q >> LIMB_BITS))
         carry = t[0] >> LIMB_BITS
-        t = jnp.concatenate([t[1:2] + carry, t[2:], zrow], axis=0)
-        return t
-
-    t = jax.lax.fori_loop(0, N_LIMBS, body, t)
+        t = t[1:] + [jnp.zeros_like(t[0])]
+        t[0] = t[0] + carry
     limbs, carry = [], jnp.zeros_like(t[0])
     for j in range(N_LIMBS):
         v = t[j] + carry
@@ -69,6 +69,12 @@ def _montmul_val_ref(a, b_ref):
         carry = v >> LIMB_BITS
     out = jnp.stack(limbs, axis=0)
     return _sub_if_ge(out)
+
+
+def _montmul_val_ref(a, b_ref):
+    """CIOS with `a` an in-kernel [16, R, 128] value and `b_ref` a VMEM
+    ref read one limb row per (unrolled) iteration."""
+    return _cios_rowwise(a, lambda i: b_ref[i])
 
 
 def _montmul_const(a, c_ref, base):
@@ -80,85 +86,51 @@ def _montmul_const(a, c_ref, base):
     addressing); the refs are flat because SMEM windows are
     (8,128)-tile padded per trailing 2-D slice (a [57,17,16] window
     allocates 684K of the 1M SMEM)."""
-    t = jnp.zeros((N_LIMBS + 1,) + a.shape[1:], dtype=jnp.uint32)
-    zrow = jnp.zeros_like(t[:1])
-
-    def body(i, t):
-        bi = c_ref[base + i]
-        prod = a * bi
-        t0 = t[0] + (prod[0] & _mask)
-        m = (t0 * jnp.uint32(N0INV)) & _mask
-        q = jnp.stack([m * jnp.uint32(pj) for pj in P_LIMBS], axis=0)
-        lo = (prod & _mask) + (q & _mask)
-        hi = (prod >> LIMB_BITS) + (q >> LIMB_BITS)
-        t = t + jnp.concatenate([lo, zrow], axis=0)
-        t = t + jnp.concatenate([zrow, hi], axis=0)
-        carry = t[0] >> LIMB_BITS
-        t = jnp.concatenate([t[1:2] + carry, t[2:], zrow], axis=0)
-        return t
-
-    t = jax.lax.fori_loop(0, N_LIMBS, body, t)
-    limbs, carry = [], jnp.zeros_like(t[0])
-    for j in range(N_LIMBS):
-        v = t[j] + carry
-        limbs.append(v & _mask)
-        carry = v >> LIMB_BITS
-    out = jnp.stack(limbs, axis=0)
-    return _sub_if_ge(out)
+    return _cios_rowwise(a, lambda i: c_ref[base + i])
 
 
 N_ACC = 2 * N_LIMBS + 1  # 33 wide-accumulator columns
 
 
 def _acc_mul_const(acc, x, c_ref, base):
-    """acc += x * const, schoolbook into the [33, R, 128] wide
-    accumulator WITHOUT reduction (the REDC is shared across a whole
-    linear-combination row — PLAN r2 'accumulate-then-REDC'). x is a
-    canonical 16-limb value; const limbs are SMEM scalars
-    c_ref[base + k]. lo/hi splits keep columns <= 2^21 per product and
-    < 2^26 per mix row — far inside u32."""
-    zrow = jnp.zeros_like(x[:1])
+    """acc += x * const, schoolbook into the wide accumulator WITHOUT
+    reduction (the REDC is shared across a whole linear-combination row
+    — PLAN r2 'accumulate-then-REDC'). x is a canonical 16-limb value;
+    const limbs are SMEM scalars c_ref[base + k]. lo/hi splits keep
+    columns <= 2^21 per product and < 2^26 per mix row — far inside u32.
+
+    `acc` is a LIST of N_ACC per-column rows (not a stacked [33, R, 128]
+    tensor): only the 17 columns a partial product actually touches get
+    a VPU add, where the r3 stacked version added zero-padded full-width
+    tensors (66 row-adds per limb vs 32 — the dominant cost of the mix,
+    ~1.4x whole-hash on v5e)."""
     for k in range(N_LIMBS):
         p = x * c_ref[base + k]
-        q = jnp.concatenate([p & _mask, zrow], axis=0) + jnp.concatenate(
-            [zrow, p >> LIMB_BITS], axis=0
-        )  # [17, R, 128] column-aligned partial product
-        pads = []
-        if k:
-            pads.append(jnp.zeros_like(acc[:k]))
-        pads.append(q)
-        if N_ACC - 17 - k:
-            pads.append(jnp.zeros_like(acc[: N_ACC - 17 - k]))
-        acc = acc + jnp.concatenate(pads, axis=0)
+        lo = p & _mask
+        hi = p >> LIMB_BITS
+        for j in range(N_LIMBS):
+            acc[k + j] = acc[k + j] + lo[j]
+            acc[k + j + 1] = acc[k + j + 1] + hi[j]
     return acc
 
 
 def _redc_wide(acc):
-    """Montgomery reduction of the [33, R, 128] wide accumulator: 16
+    """Montgomery reduction of the wide column-list accumulator: 16
     CIOS-style iterations resolving one low column at a time, then
     carry-normalize the high half and an 8p/4p/2p/p subtract ladder
-    (the row sum of <= 15 canonical products keeps the result < ~7p)."""
+    (the row sum of <= 15 canonical products keeps the result < ~7p).
+    Like _acc_mul_const, the m*p partials land as per-column row adds
+    (columns i..i+16) instead of zero-padded full-width tensor adds."""
     carry = jnp.zeros_like(acc[0])
-    p_col = jnp.stack(
-        [jnp.full_like(acc[0], jnp.uint32(pj)) for pj in P_LIMBS], axis=0
-    )
     for i in range(N_LIMBS):
         v = acc[i] + carry
         m = (v * jnp.uint32(N0INV)) & _mask
-        mp = m * p_col  # [16, R, 128]
+        mp = [m * jnp.uint32(pj) for pj in P_LIMBS]
         carry = (v + (mp[0] & _mask)) >> LIMB_BITS
-        lo = mp & _mask
-        hi = mp >> LIMB_BITS
-        qq = jnp.concatenate([lo, jnp.zeros_like(lo[:1])], axis=0)
-        qq = qq + jnp.concatenate([jnp.zeros_like(hi[:1]), hi], axis=0)
         # columns i..i+16 get the aligned m*p partial (col i cancels)
-        pads = []
-        if i:
-            pads.append(jnp.zeros_like(acc[:i]))
-        pads.append(qq)
-        if N_ACC - 17 - i:
-            pads.append(jnp.zeros_like(acc[: N_ACC - 17 - i]))
-        acc = acc + jnp.concatenate(pads, axis=0)
+        for j in range(N_LIMBS):
+            acc[i + j] = acc[i + j] + (mp[j] & _mask)
+            acc[i + j + 1] = acc[i + j + 1] + (mp[j] >> LIMB_BITS)
     limbs = []
     for j in range(N_LIMBS, N_ACC - 1):
         v = acc[j] + carry
@@ -190,7 +162,8 @@ def _redc_wide(acc):
 
 
 def _zero_acc(shape):
-    return jnp.zeros((N_ACC,) + shape, dtype=jnp.uint32)
+    z = jnp.zeros(shape, dtype=jnp.uint32)
+    return [z] * N_ACC
 
 
 def _sub_if_ge(x):

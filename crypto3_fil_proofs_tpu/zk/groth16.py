@@ -334,6 +334,8 @@ def _qap_tau_evals(constraints, n_in, num_vars, tau, log_n):
                 w[var] = (w[var] + coeff * lj) % R
 
     def _accumulate_block(block, base):
+        if hasattr(block, "pool"):  # FieldBlock or tiled.TiledBlock
+            return _accumulate_field_block(block, base)
         for indptr, cols, coeffs, target in (
             (block.a_indptr, block.a_cols, block.a_coeffs, u),
             (block.b_indptr, block.b_cols, block.b_coeffs, v),
@@ -345,6 +347,39 @@ def _qap_tau_evals(constraints, n_in, num_vars, tau, log_n):
                 cols.tolist(), coeffs.tolist(), rows.tolist()
             ):
                 target[var] = (target[var] + coeff * lag[base + row]) % R
+
+    def _accumulate_field_block(block, base):
+        """u[var] += pool[idx] * lag[row] mod R, vectorized: products in
+        limb space, then per-var segment sums over a col-sorted order —
+        python-int work is one add per DISTINCT var, not per nnz."""
+        from ..ops import fr_vec as fv
+
+        lag_v = fv.to_v(lag[base : base + block.n])
+        lag_m = fv.to_mont(lag_v)
+        pool_v = block.pool_limbs()
+        for indptr, cols, idx, target in (
+            (block.a_indptr, block.a_cols, block.a_idx, u),
+            (block.b_indptr, block.b_cols, block.b_idx, v),
+            (block.c_indptr, block.c_cols, block.c_idx, w),
+        ):
+            if len(cols) == 0:
+                continue
+            lens = np.diff(indptr)
+            rows = np.repeat(np.arange(block.n, dtype=np.int64), lens)
+            terms = fv.mont_mul(pool_v[idx], lag_m[rows])
+            order = np.argsort(cols, kind="stable")
+            sorted_cols = cols[order]
+            boundaries = np.nonzero(
+                np.diff(sorted_cols, prepend=sorted_cols[0] - 1)
+            )[0]
+            seg_ptr = np.concatenate(
+                [boundaries, [len(sorted_cols)]]
+            ).astype(np.int64)
+            sums = fv.sum_mod_csr(terms[order], seg_ptr)
+            for var, s in zip(
+                sorted_cols[boundaries].tolist(), fv.from_v(sums)
+            ):
+                target[var] = (target[var] + s) % R
 
     if hasattr(constraints, "segments"):
         for kind, seg, base in constraints.segments():
@@ -522,6 +557,33 @@ def _compute_h(cs_finalized, assignment, log_n):
             )
 
     def _eval_block(block, base):
+        from .r1cs import FieldBlock
+
+        if hasattr(block, "pool"):  # FieldBlock or tiled.TiledBlock
+            from ..ops import fr_vec as fv
+
+            cols = np.concatenate(
+                [block.a_cols, block.b_cols, block.c_cols]
+            )
+            uniq = np.unique(cols) if len(cols) else np.zeros(0, np.int64)
+            # compact the assignment: limb-ify only referenced vars
+            comp = np.full(int(uniq.max()) + 1 if len(uniq) else 1, -1,
+                           dtype=np.int64)
+            comp[uniq] = np.arange(len(uniq))
+            vals_v = fv.to_v([assignment[int(c)] for c in uniq.tolist()])
+            view = FieldBlock(
+                block.n,
+                block.a_indptr, comp[block.a_cols], block.a_idx,
+                block.b_indptr, comp[block.b_cols], block.b_idx,
+                block.c_indptr, comp[block.c_cols], block.c_idx,
+                block.pool,
+            )
+            av, bv, cv = view.eval_rows_v(vals_v)
+            n = block.n
+            a_evals[base : base + n] = fv.from_v(av)
+            b_evals[base : base + n] = fv.from_v(bv)
+            c_evals[base : base + n] = fv.from_v(cv)
+            return
         # vectorized rows reference int64-safe values (gadget contract)
         cols = np.concatenate([block.a_cols, block.b_cols, block.c_cols])
         uniq = np.unique(cols) if len(cols) else np.zeros(0, np.int64)

@@ -74,8 +74,82 @@ class BulkBlock:
         return tuple(out)
 
 
+@dataclass
+class FieldBlock:
+    """A contiguous run of constraints in CSR form whose coefficients
+    index a shared pool of full-width Fr constants (python ints < R).
+
+    The template-tiled gadget emitters (zk/gadgets/template.py: Poseidon
+    MDS rows, PoR levels) need arbitrary field coefficients, which the
+    int64 BulkBlock contract cannot host. Row evaluation runs through
+    the vectorized host limb kernels (ops/fr_vec.py) — no per-term
+    python-int math. Duplicate columns within a row mean coefficient
+    addition (same as BulkBlock)."""
+
+    n: int
+    a_indptr: np.ndarray
+    a_cols: np.ndarray
+    a_idx: np.ndarray  # uint32 indices into pool
+    b_indptr: np.ndarray
+    b_cols: np.ndarray
+    b_idx: np.ndarray
+    c_indptr: np.ndarray
+    c_cols: np.ndarray
+    c_idx: np.ndarray
+    pool: list  # python ints, canonical mod R
+    label: str = ""
+
+    def __post_init__(self):
+        self._pool_v = None
+        self._pool_v_mont = None
+
+    def pool_limbs(self, mont: bool = False) -> np.ndarray:
+        """[P, 16] u64 limb view of the pool (cached); mont=True returns
+        the Montgomery form (for fr_vec.mont_mul against plain values)."""
+        from ..ops import fr_vec as fv
+
+        if mont:
+            if self._pool_v_mont is None:
+                self._pool_v_mont = fv.to_mont(self.pool_limbs())
+            return self._pool_v_mont
+        if self._pool_v is None:
+            self._pool_v = fv.to_v(self.pool)
+        return self._pool_v
+
+    def remap(self, new_index: np.ndarray) -> "FieldBlock":
+        out = FieldBlock(
+            self.n,
+            self.a_indptr, new_index[self.a_cols], self.a_idx,
+            self.b_indptr, new_index[self.b_cols], self.b_idx,
+            self.c_indptr, new_index[self.c_cols], self.c_idx,
+            self.pool, self.label,
+        )
+        return out
+
+    def eval_rows_v(self, values_v: np.ndarray):
+        """(a.x, b.x, c.x) per row as [n, 16] canonical limb arrays;
+        values_v is the full assignment as [num_vars, 16] u64 limbs."""
+        from ..ops import fr_vec as fv
+
+        pool_m = self.pool_limbs(mont=True)
+        out = []
+        for indptr, cols, idx in (
+            (self.a_indptr, self.a_cols, self.a_idx),
+            (self.b_indptr, self.b_cols, self.b_idx),
+            (self.c_indptr, self.c_cols, self.c_idx),
+        ):
+            if len(cols) == 0:
+                out.append(np.zeros((self.n, 16), np.uint64))
+                continue
+            terms = fv.mont_mul(values_v[cols], pool_m[idx])
+            out.append(fv.sum_mod_csr(terms, indptr))
+        return tuple(out)
+
+
 _EMPTY_I64 = np.zeros(0, np.int64)
 _EMPTY_I64.setflags(write=False)
+_EMPTY_U32 = np.zeros(0, np.uint32)
+_EMPTY_U32.setflags(write=False)
 
 
 class _BulkBuilder:
@@ -285,17 +359,23 @@ class ConstraintSystem:
         self._mark_dict_row()
         self.names.append(self._prefix)
 
-    def add_bulk_block(self, block: BulkBlock) -> None:
-        """Append a vectorized constraint run (array synthesis path)."""
+    def add_bulk_block(self, block) -> None:
+        """Append a vectorized constraint run (BulkBlock int64 CSR or
+        FieldBlock pool-indexed CSR — the array synthesis path)."""
         self.row_layout.append(["b", len(self.bulk_blocks)])
         self.bulk_blocks.append(block)
 
-    def bulk_alloc(self, values: np.ndarray) -> int:
+    def bulk_alloc(self, values: np.ndarray | list) -> int:
         """Allocate len(values) auxiliary variables at once; returns the
-        base index (ids are contiguous). values must already be < R."""
+        base index (ids are contiguous). values must already be < R
+        (numpy array of int64-safe values, or a list of python ints)."""
         base = len(self.values)
-        self.values.extend(values.tolist())
-        self.is_input.extend([False] * len(values))
+        self.values.extend(
+            values.tolist() if isinstance(values, np.ndarray) else values
+        )
+        self.is_input.extend(
+            [False] * (len(values))
+        )
         return base
 
     @property
@@ -370,7 +450,9 @@ class ConstraintSystem:
         return n_in, len(aux), fin, inputs, aux
 
 
-def _block_unsatisfied(block: BulkBlock, assignment: list[int]):
+def _block_unsatisfied(block, assignment: list[int]):
+    if hasattr(block, "pool"):  # FieldBlock or tiled.TiledBlock
+        return _field_block_unsatisfied(block, assignment)
     cols = np.unique(
         np.concatenate([block.a_cols, block.b_cols, block.c_cols])
     ) if (len(block.a_cols) or len(block.b_cols) or len(block.c_cols)) else np.zeros(0, np.int64)
@@ -382,6 +464,19 @@ def _block_unsatisfied(block: BulkBlock, assignment: list[int]):
     # |a|,|b| < 2^62 but a*b can overflow int64 — lift to object
     prod = av.astype(object) * bv.astype(object) - cv.astype(object)
     bad = np.nonzero([int(x) % R != 0 for x in prod])[0]
+    return int(bad[0]) if len(bad) else None
+
+
+def _field_block_unsatisfied(block: FieldBlock, assignment: list[int]):
+    from ..ops import fr_vec as fv
+
+    values_v = fv.to_v([v % R for v in assignment])
+    av, bv, cv = block.eval_rows_v(values_v)
+    ab = fv.mont_mul(fv.to_mont(av), bv)  # a*b mod R
+    # a*b - c mod R: add (R - c)
+    neg_c = fv.to_v([(R - x) % R for x in fv.from_v(cv)])
+    res = fv.add_mod(ab, neg_c)
+    bad = np.nonzero(res.any(axis=1))[0]
     return int(bad[0]) if len(bad) else None
 
 
@@ -423,14 +518,29 @@ class FinalizedConstraints:
                 yield from _block_rows_as_dicts(seg)
 
 
-def _block_rows_as_dicts(block: BulkBlock):
-    for i in range(block.n):
-        row = []
-        for indptr, cols, coeffs in (
+def _block_rows_as_dicts(block):
+    if hasattr(block, "pool"):  # FieldBlock or tiled.TiledBlock
+        pool = block.pool
+        sides = (
+            (block.a_indptr, block.a_cols,
+             np.asarray([pool[i] for i in block.a_idx.tolist()], object)
+             if len(block.a_idx) else block.a_idx),
+            (block.b_indptr, block.b_cols,
+             np.asarray([pool[i] for i in block.b_idx.tolist()], object)
+             if len(block.b_idx) else block.b_idx),
+            (block.c_indptr, block.c_cols,
+             np.asarray([pool[i] for i in block.c_idx.tolist()], object)
+             if len(block.c_idx) else block.c_idx),
+        )
+    else:
+        sides = (
             (block.a_indptr, block.a_cols, block.a_coeffs),
             (block.b_indptr, block.b_cols, block.b_coeffs),
             (block.c_indptr, block.c_cols, block.c_coeffs),
-        ):
+        )
+    for i in range(block.n):
+        row = []
+        for indptr, cols, coeffs in sides:
             d: dict[int, int] = {}
             for j in range(indptr[i], indptr[i + 1]):
                 v = int(cols[j])

@@ -1,0 +1,264 @@
+"""Multi-process (multi-host analog) dryrun: jax.distributed over N
+local CPU processes (VERDICT r3 missing #3 / next-round #2).
+
+The reference links an actor-network/cluster/DPDK stack for cross-host
+distribution (reference .gitmodules:43-60, libs/filecoin/CMakeLists.txt
+:98-99); SURVEY §2.9 P8 maps that to `jax.distributed` + XLA
+collectives over DCN. Everything before round 4 ran single-process
+(one real TPU or an 8-virtual-device CPU mesh), so the process
+boundary — coordinator handshake, cross-process Gloo/DCN collectives,
+global-array semantics — was never exercised. This dryrun does exactly
+that, on CPU, with the production sharded kernels:
+
+  leg 1  four-step NTT (parallel/sharded.ntt_sharded) over a
+         2-process x 4-device global mesh == single-device ops/ntt
+         bit-for-bit.
+  leg 2  sharded Pippenger bucket accumulate + cross-process bucket
+         merge (msm_sharded_buckets) -> host aggregation == local
+         msm_device Jacobian, decoded-int equality.
+  leg 3  partition-parallel Groth16: each process proves its k%2==pid
+         partitions (prove_many on local devices), proof bytes cross
+         the process boundary through a global uint8 array +
+         process_allgather, and must equal the serial single-process
+         bytes exactly.
+  leg 4  scaling probe: wall time of the leg-2 bucket stage at 2^14,
+         1 process vs 2 processes, fixed total N. (CPU-relative: this
+         host has 4 cores, so the ratio reflects core contention, not
+         ICI/DCN — the structural pass/fail is legs 1-3.)
+
+Parent:  python scripts/dryrun_multihost.py            (spawns workers)
+Worker:  python scripts/dryrun_multihost.py --proc I --nprocs N --port P
+Writes one JSON line; exit 0 iff every leg passed in every process.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+LOCAL_DEVICES = 4
+NTT_LOGN = 12
+MSM_N = 1 << 10
+MSM_BUCKETS = 256
+SCALE_N = 1 << 14
+
+
+def _worker_env(port: int) -> dict:
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        JAX_PLATFORM_NAME="cpu",
+        XLA_FLAGS=f"--xla_force_host_platform_device_count={LOCAL_DEVICES}",
+        FIL_PROOFS_COMPACT_FIELD="1",  # rolled fori_loop curve ops: CPU compiles in seconds
+        FIL_PROOFS_JAX_CACHE="0",
+    )
+    return env
+
+
+def worker(proc_id: int, nprocs: int, port: int) -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        f"localhost:{port}", num_processes=nprocs, process_id=proc_id
+    )
+    import numpy as np
+    from jax.experimental import multihost_utils
+    from jax.sharding import Mesh
+
+    from crypto3_fil_proofs_tpu.ops import msm as msm_mod
+    from crypto3_fil_proofs_tpu.ops import ntt as ntt_mod
+    from crypto3_fil_proofs_tpu.ops.fr_limbs import FR
+    from crypto3_fil_proofs_tpu.parallel import sharded
+
+    assert len(jax.devices()) == nprocs * LOCAL_DEVICES
+    mesh = Mesh(np.array(jax.devices()), ("shard",))
+    results = {}
+
+    def gather_np(x):
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+    # -- leg 1: four-step NTT across the process boundary ---------------
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 1 << 14, size=(1 << NTT_LOGN, FR.n), dtype=np.uint32)
+    t0 = time.perf_counter()
+    y = sharded.ntt_sharded(a, NTT_LOGN, mesh)
+    y_np = gather_np(y)
+    want = np.asarray(ntt_mod.ntt(a, NTT_LOGN))
+    results["ntt_ok"] = bool((y_np == want).all())
+    results["ntt_s"] = round(time.perf_counter() - t0, 2)
+
+    # -- leg 2: sharded MSM bucket accumulate + cross-process merge -----
+    points, scalars = msm_mod.random_bench_input(MSM_N, seed=11)
+    points = jax.tree_util.tree_map(np.asarray, points)
+    scalars = np.asarray(scalars)
+    t0 = time.perf_counter()
+    acc = sharded.msm_sharded_buckets(points, scalars, mesh, MSM_BUCKETS)
+    # replicated out -> every process holds the full bucket matrix
+    acc_np = jax.tree_util.tree_map(
+        lambda t: np.asarray(t.addressable_data(0)), acc
+    )
+    totals = msm_mod._aggregate_stage(acc_np, "g1")
+    got = msm_mod._combine_stage(totals, MSM_BUCKETS.bit_length() - 1, "g1")
+    want_pt = msm_mod.msm_device(points, scalars, MSM_BUCKETS)
+    from crypto3_fil_proofs_tpu.ops.bls12_381 import g1_eq
+    from crypto3_fil_proofs_tpu.ops.g1_jax import points_from_device
+
+    to_host = lambda p: points_from_device(
+        tuple(np.asarray(t)[None] for t in p)
+    )[0]
+    results["msm_ok"] = bool(g1_eq(to_host(got), to_host(want_pt)))
+    results["msm_s"] = round(time.perf_counter() - t0, 2)
+
+    # -- leg 3: prove_many with partitions split across processes -------
+    from crypto3_fil_proofs_tpu.zk import groth16
+    from crypto3_fil_proofs_tpu.zk.gadgets.num import AllocatedNum
+    from crypto3_fil_proofs_tpu.zk.r1cs import (
+        ConstraintSystem,
+        LinearCombination,
+        lc_one,
+    )
+    from crypto3_fil_proofs_tpu.ops.bls12_381 import R
+
+    def cubic(x: int) -> ConstraintSystem:
+        cs = ConstraintSystem()
+        xn = AllocatedNum.alloc(cs, x)
+        x3 = xn.square(cs).mul(cs, xn)
+        out = AllocatedNum.alloc_input(cs, (x3.value + xn.value + 5) % R)
+        cs.enforce(
+            x3.lc() + xn.lc() + LinearCombination.constant(5),
+            lc_one(), out.lc(), "out",
+        )
+        return cs
+
+    t0 = time.perf_counter()
+    cs_list = [cubic(3 + k) for k in range(4)]
+    pk = groth16.setup(cs_list[0], seed=b"multihost-cubic")
+    # distributed: process pid proves partitions pid::nprocs through
+    # prove_many on its LOCAL devices (prove_many derives per-partition
+    # randomness as base + bytes([local_index])); bytes cross the
+    # process boundary as a global uint8 array below
+    mine = list(range(proc_id, 4, nprocs))
+    local_prf = groth16.prove_many(
+        pk, [cs_list[k] for k in mine], randomness=b"mh-part",
+        devices=jax.local_devices(),
+    )
+    # serial reference with the same randomness derivation: partition k
+    # lives at local index k//nprocs of process k%nprocs
+    serial = [
+        groth16.prove(
+            pk, cs_list[k], randomness=b"mh-part" + bytes([k // nprocs])
+        )
+        for k in range(4)
+    ]
+    local_bytes = np.frombuffer(
+        b"".join(p.to_bytes() for p in local_prf), dtype=np.uint8
+    ).reshape(len(mine), 192)
+    glob = multihost_utils.process_allgather(local_bytes, tiled=True)
+    glob = np.asarray(glob).reshape(4, 192)  # rows: proc0's ks, proc1's ks
+    order = [k for p in range(nprocs) for k in range(p, 4, nprocs)]
+    got_bytes = {k: bytes(glob[i]) for i, k in enumerate(order)}
+    results["prove_ok"] = all(
+        got_bytes[k] == serial[k].to_bytes() for k in range(4)
+    )
+    results["prove_s"] = round(time.perf_counter() - t0, 2)
+
+    # -- leg 4: scaling probe (fixed total N, this nprocs) ---------------
+    pts2, sc2 = msm_mod.random_bench_input(SCALE_N, seed=13)
+    pts2 = jax.tree_util.tree_map(np.asarray, pts2)
+    sc2 = np.asarray(sc2)
+    sharded.msm_sharded_buckets(pts2, sc2, mesh, MSM_BUCKETS)  # compile
+    t0 = time.perf_counter()
+    acc2 = sharded.msm_sharded_buckets(pts2, sc2, mesh, MSM_BUCKETS)
+    jax.block_until_ready(jax.tree_util.tree_leaves(acc2)[0])
+    results["bucket_stage_s"] = round(time.perf_counter() - t0, 3)
+
+    results["ok"] = bool(
+        results["ntt_ok"] and results["msm_ok"] and results["prove_ok"]
+    )
+    print(f"WORKER{proc_id} " + json.dumps(results), flush=True)
+    sys.exit(0 if results["ok"] else 1)
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def parent(nprocs: int) -> int:
+    me = os.path.abspath(__file__)
+
+    def run(n: int) -> tuple[bool, dict]:
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-u", me, "--proc", str(i),
+                 "--nprocs", str(n), "--port", str(port)],
+                env=_worker_env(port),
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+            for i in range(n)
+        ]
+        outs, ok = [], True
+        deadline = time.time() + 900
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=max(5, deadline - time.time()))
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, _ = p.communicate()
+                ok = False
+            outs.append(out)
+            ok = ok and p.returncode == 0
+        worker0 = {}
+        for line in "".join(outs).splitlines():
+            if line.startswith("WORKER0 "):
+                worker0 = json.loads(line[len("WORKER0 "):])
+        if not ok:
+            sys.stderr.write("".join(outs)[-4000:])
+        return ok, worker0
+
+    ok2, res2 = run(nprocs)
+    ok1, res1 = run(1)
+    t1, t2 = res1.get("bucket_stage_s"), res2.get("bucket_stage_s")
+    summary = {
+        "ok": bool(ok1 and ok2),
+        "nprocs": nprocs,
+        "local_devices": LOCAL_DEVICES,
+        "legs": {k: res2.get(k) for k in
+                 ("ntt_ok", "msm_ok", "prove_ok", "ntt_s", "msm_s", "prove_s")},
+        "bucket_stage_s_1proc": t1,
+        f"bucket_stage_s_{nprocs}proc": t2,
+        "scaling_x": round(t1 / t2, 2) if t1 and t2 else None,
+        "note": "CPU gloo backend, 4 physical cores — scaling_x reflects "
+                "host core contention; pass/fail is the byte-identity legs",
+    }
+    print(json.dumps(summary))
+    return 0 if summary["ok"] else 1
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--proc", type=int, default=None)
+    ap.add_argument("--nprocs", type=int, default=2)
+    ap.add_argument("--port", type=int, default=None)
+    args = ap.parse_args()
+    if args.proc is None:
+        sys.exit(parent(args.nprocs))
+    worker(args.proc, args.nprocs, args.port)
+
+
+if __name__ == "__main__":
+    main()

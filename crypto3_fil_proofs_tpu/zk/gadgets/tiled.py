@@ -565,3 +565,173 @@ class TiledBlock:
 
     pool_limbs = FieldBlock.pool_limbs
     eval_rows_v = FieldBlock.eval_rows_v
+
+
+# ---------------------------------------------------------------------------
+# JAX-backed poseidon witness replay (XLA:CPU/TPU) — the numpy fr_vec
+# replay measures ~40k constraints/s; real window-PoSt proving needs
+# the witness at >=1M c/s, so the recording permutation runs as traced
+# limb arithmetic (one montmul instance per stage, vectorized over K).
+# ---------------------------------------------------------------------------
+
+_JAX_WITNESS_CACHE: dict = {}
+
+
+def _poseidon_witness_jax_fn(arity: int):
+    fn = _JAX_WITNESS_CACHE.get(arity)
+    if fn is not None:
+        return fn
+    import jax
+    import jax.numpy as jnp
+
+    from ...ops.fr_limbs import fr_ops
+    from ...ops.poseidon import optimized_partial_schedule, poseidon_constants
+
+    consts = poseidon_constants(arity)
+    t = consts.t
+    half_f = consts.r_f // 2
+    r_p = consts.r_p
+    c_prime, m00s, vs, w_hats, d_last = optimized_partial_schedule(arity)
+    from ...ops.fr_limbs import FR as _FR
+
+    mont = lambda x: _FR.to_limbs(
+        [(v % R) * _FR.mont_r % R for v in x]
+    ).astype(np.uint32)
+    rc_np = mont(consts.round_constants).reshape(
+        consts.r_f + r_p, t, 16
+    )
+    # the gadget consumes rc rows sequentially; partial rows use c'
+    rc_np = rc_np.copy()
+    rc_np[half_f : half_f + r_p] = mont(
+        [x for row in c_prime for x in row]
+    ).reshape(r_p, t, 16)
+    mds_np = mont([v for row in consts.mds for v in row]).reshape(t, t, 16)
+    dl_np = mont([v for row in d_last for v in row]).reshape(t, t, 16)
+    m00_np = mont(m00s).reshape(r_p, 16)
+    vs_np = mont([x for row in vs for x in row]).reshape(r_p, t - 1, 16)
+    wh_np = mont([x for row in w_hats for x in row]).reshape(r_p, t - 1, 16)
+    tag_np = mont([consts.domain_tag]).reshape(16)
+
+    def mix(state, mat):  # state [t, K, 16], mat [t, t, 16]
+        prods = fr_ops.mont_mul(
+            state[None, :, :, :], mat[:, :, None, :]
+        )  # [t_out, t_in, K, 16]
+        acc = prods[:, 0]
+        for j in range(1, t):
+            acc = fr_ops.add(acc, prods[:, j])
+        return acc
+
+    def run(preimages):  # [K, arity, 16] u32 plain
+        K = preimages.shape[0]
+        pre_m = fr_ops.to_mont(preimages)  # [K, arity, 16]
+        state = jnp.concatenate(
+            [
+                jnp.broadcast_to(jnp.asarray(tag_np)[None, None], (1, K, 16)),
+                jnp.swapaxes(pre_m, 0, 1),
+            ],
+            axis=0,
+        )  # [t, K, 16]
+        rc = jnp.asarray(rc_np)
+        mds = jnp.asarray(mds_np)
+        rec_full1 = jnp.zeros((half_f, t, 3, K, 16), jnp.uint32)
+        rec_part = jnp.zeros((r_p, 3, K, 16), jnp.uint32)
+        rec_full2 = jnp.zeros((half_f, t, 3, K, 16), jnp.uint32)
+
+        def sbox_all(s):  # [t, K, 16] -> (x5 state, rec [t, 3, K, 16])
+            x2 = fr_ops.mont_mul(s, s)
+            x4 = fr_ops.mont_mul(x2, x2)
+            x5 = fr_ops.mont_mul(x4, s)
+            return x5, jnp.stack([x2, x4, x5], axis=1)
+
+        def full_body(r, carry, rec, r_off):
+            s = carry
+            s = fr_ops.add(s, jnp.broadcast_to(rc[r_off + r][:, None], s.shape))
+            s, rr = sbox_all(s)
+            rec = jax.lax.dynamic_update_slice(
+                rec, rr[None], (r, 0, 0, 0, 0)
+            )
+            return mix(s, mds), rec
+
+        def loop_full(state, rec, r_off):
+            def body(r, c):
+                s, rec = c
+                s, rec = full_body(r, s, rec, r_off)
+                return s, rec
+
+            return jax.lax.fori_loop(0, half_f, body, (state, rec))
+
+        state, rec_full1 = loop_full(state, rec_full1, 0)
+
+        m00 = jnp.asarray(m00_np)
+        vsj = jnp.asarray(vs_np)
+        whj = jnp.asarray(wh_np)
+
+        def part_body(k, carry):
+            s, rec = carry
+            s = fr_ops.add(s, jnp.broadcast_to(rc[half_f + k][:, None], s.shape))
+            x = s[0]
+            x2 = fr_ops.mont_mul(x, x)
+            x4 = fr_ops.mont_mul(x2, x2)
+            x5 = fr_ops.mont_mul(x4, x)
+            rec = jax.lax.dynamic_update_slice(
+                rec, jnp.stack([x2, x4, x5])[None], (k, 0, 0, 0)
+            )
+            out0 = fr_ops.mont_mul(x5, jnp.broadcast_to(m00[k][None], x5.shape))
+            rest = s[1:]
+            vterm = fr_ops.mont_mul(
+                rest, jnp.broadcast_to(vsj[k][:, None], rest.shape)
+            )
+            for j in range(t - 1):
+                out0 = fr_ops.add(out0, vterm[j])
+            wterm = fr_ops.mont_mul(
+                jnp.broadcast_to(x5[None], (t - 1,) + x5.shape),
+                jnp.broadcast_to(whj[k][:, None], rest.shape),
+            )
+            outs = fr_ops.add(wterm, rest)
+            return jnp.concatenate([out0[None], outs], axis=0), rec
+
+        state, rec_part = jax.lax.fori_loop(
+            0, r_p, part_body, (state, rec_part)
+        )
+        state = mix(state, jnp.asarray(dl_np))
+        state, rec_full2 = loop_full(state, rec_full2, half_f + r_p)
+        digest = fr_ops.from_mont(state[1])
+        return (
+            fr_ops.from_mont(rec_full1),
+            fr_ops.from_mont(rec_part),
+            fr_ops.from_mont(rec_full2),
+            digest,
+        )
+
+    import jax as _jax
+
+    fn = _jax.jit(run)
+    _JAX_WITNESS_CACHE[arity] = fn
+    return fn
+
+
+def poseidon_witness_jax(preimages_v: np.ndarray, arity: int) -> np.ndarray:
+    """JAX-accelerated poseidon_witness_v: same output ([K, n_int, 16]
+    plain limbs in the scalar gadget's allocation order), K padded to a
+    power of two so programs are shared across batch sizes."""
+    K = preimages_v.shape[0]
+    Kp = max(64, 1 << (K - 1).bit_length())
+    pre32 = preimages_v.astype(np.uint32)
+    if Kp != K:
+        pre32 = np.concatenate(
+            [pre32, np.zeros((Kp - K, arity, 16), np.uint32)]
+        )
+    f1, p, f2, dig = (
+        np.asarray(x) for x in _poseidon_witness_jax_fn(arity)(pre32)
+    )
+    # assemble in scalar order: full rounds (t sboxes x (x2,x4,x5)),
+    # partial rounds (one sbox), full rounds, digest
+    half_f, t = f1.shape[0], f1.shape[1]
+    parts = [
+        f1.transpose(3, 0, 1, 2, 4).reshape(Kp, -1, 16),
+        p.transpose(2, 0, 1, 3).reshape(Kp, -1, 16),
+        f2.transpose(3, 0, 1, 2, 4).reshape(Kp, -1, 16),
+        dig[:, None, :],
+    ]
+    out = np.concatenate(parts, axis=1).astype(np.uint64)
+    return out[:K]

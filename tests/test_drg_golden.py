@@ -75,12 +75,17 @@ def test_golden_drg_tamper_rejected(golden):
     from crypto3_fil_proofs_tpu.models.porep.drg.circuit import DrgPoRepCompound
 
     pp, pub, proof, vk, inputs = golden
-    bad = bytearray(proof)
-    bad[7] ^= 0x20
     compound = CompoundProof(DrgPoRepCompound())
-    assert not compound.verify(
-        pp, pub, MultiProof.from_bytes(bytes(bad), 1), vk
-    )
+    # a corrupted proof is rejected either at point-decompression (the
+    # flipped x lands off-curve -> ValueError) or by the pairing check
+    for byte, mask in ((7, 0x20), (50, 0x01), (191, 0x80)):
+        bad = bytearray(proof)
+        bad[byte] ^= mask
+        try:
+            mp = MultiProof.from_bytes(bytes(bad), 1)
+        except ValueError:
+            continue
+        assert not compound.verify(pp, pub, mp, vk)
 
 
 def test_golden_drg_wrong_inputs_rejected(golden):

@@ -339,6 +339,257 @@ def _staged(arity: int):
     return rc, mds, sp, dl, tag
 
 
+# ---------------------------------------------------------------------------
+# MXU variant: every constant linear map (dense MDS mix, sparse-round
+# out0 row, w_hat column) is a matmul over 8-bit limb planes on the
+# systolic array; the VPU keeps only the data-dependent work (S-boxes,
+# Montgomery reductions, carries). Exactness: bf16 operands hold 8-bit
+# limbs (<= 255, exactly representable); every f32 partial sum is an
+# integer < 2^24 because the contraction is chunked at K <= 192 rows
+# (192 * 255^2 = 1.25e7 < 2^24), and chunk results are added in u32.
+# ---------------------------------------------------------------------------
+
+MXU_ROWS = 8  # lane rows per block (Mosaic: 2nd-minor block dim % 8)
+MXU_BLOCK = MXU_ROWS * 128
+_K_CHUNK = 192
+
+
+def _const_bytes(v: int) -> list[int]:
+    return [(v >> (8 * m)) & 0xFF for m in range(32)]
+
+
+def _lin_rows(consts: list[int]) -> np.ndarray:
+    """One OUTPUT element's 64 byte-columns from len(consts) INPUT
+    elements. Input byte-plane row order within an element is
+    [lo0..lo15, hi0..hi15] (limb k low byte at row k, high byte at row
+    16+k -> byte position 2k / 2k+1), so _to_bytes_bf16 is a plain
+    concat with no interleave relayout: A[c8, j*32 + r] =
+    byte_{c8 - pos(r)}(consts[j])."""
+    K = 32 * len(consts)
+    A = np.zeros((64, K), np.float32)
+    for j, v in enumerate(consts):
+        b = _const_bytes(v)
+        for r in range(32):
+            q = 2 * r if r < 16 else 2 * (r - 16) + 1
+            for m in range(32):
+                A[q + m, j * 32 + r] = b[m]
+    return A
+
+
+@lru_cache(maxsize=None)
+def _staged_mxu(arity: int):
+    from ..poseidon import optimized_partial_schedule
+
+    c = poseidon_constants(arity)
+    t = c.t
+    mont = lambda v: (v * FR.mont_r) % P_INT
+    c_prime, m00s, vs, w_hats, d_last = optimized_partial_schedule(arity)
+
+    def mix_matrix(rows):
+        # [t*64, t*32]: output i's 64 byte-cols from all t inputs
+        return np.concatenate(
+            [_lin_rows([mont(v) for v in row]) for row in rows], axis=0
+        )
+
+    w_full = mix_matrix(c.mds)
+    w_dl = mix_matrix(d_last)
+    # sparse round k: A1 [64, t*32] = [m00_k, v_k...] over all t elems;
+    # A2 [(t-1)*64, 32] = w_hat_i over x0 only
+    w1 = np.stack(
+        [
+            _lin_rows([mont(m00s[k])] + [mont(v) for v in vs[k]])
+            for k in range(c.r_p)
+        ]
+    )
+    w2 = np.stack(
+        [
+            np.concatenate(
+                [_lin_rows([mont(w)]) for w in w_hats[k]], axis=0
+            )
+            for k in range(c.r_p)
+        ]
+    )
+    # pad K (lane dim in storage) 32 -> 128: HBM DMA slices must be
+    # tile-aligned; the kernel feeds a matching zero-padded B block
+    w2 = np.pad(w2, ((0, 0), (0, 0), (0, 128 - w2.shape[2])))
+    import ml_dtypes
+
+    # host numpy (NOT jnp): _staged_mxu is reached inside jit traces,
+    # and lru_cached device arrays born there escape as tracers
+    bf = lambda a: np.asarray(a, dtype=ml_dtypes.bfloat16)
+    return bf(w_full), bf(w_dl), bf(w1), bf(w2)
+
+
+def _to_bytes_bf16(elems):
+    """t canonical [16, R, 128] u32 elements -> [t*32, R, 128] bf16 of
+    8-bit limbs (byte-major within each element)."""
+    planes = []
+    for x in elems:
+        lo = x & jnp.uint32(0xFF)
+        hi = x >> 8
+        # row order [lo0..lo15, hi0..hi15] (matches _lin_rows)
+        planes.append(jnp.concatenate([lo, hi], axis=0))
+    cat = jnp.concatenate(planes, axis=0)
+    # Mosaic has no u32->bf16 cast; route through i32 -> f32 (exact:
+    # values <= 255)
+    return cat.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+
+
+def _mxu_matmul(A, B):
+    """A [M, K] bf16 weights, B [K, R, 128] bf16 byte planes -> [M, R,
+    128] u32, exact (K-chunked f32 accumulation)."""
+    K = A.shape[1]
+    out = None
+    for k0 in range(0, K, _K_CHUNK):
+        part = jax.lax.dot_general(
+            A[:, k0 : k0 + _K_CHUNK],
+            B[k0 : k0 + _K_CHUNK],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32).astype(jnp.uint32)
+        out = part if out is None else out + part
+    return out
+
+
+def _recombine16(o8, i):
+    """Byte-column matmul output rows [64] at output index i -> wide
+    33-column 16-bit-basis accumulator list (for _redc_wide)."""
+    base = i * 64
+    acc = []
+    for cc in range(32):  # 64 byte-cols -> 32 16-bit cols
+        v = o8[base + 2 * cc]
+        v = v + ((o8[base + 2 * cc + 1] & jnp.uint32(0xFF)) << 8)
+        if cc > 0:
+            v = v + (o8[base + 2 * cc - 1] >> 8)
+        acc.append(v)
+    # col 32: only the carry out of byte-col 63, which is always zero
+    # (byte products reach col8 <= 62)
+    return acc + [jnp.zeros_like(acc[0])] * (N_ACC - 32)
+
+
+def _make_permute_kernel_mxu(arity: int):
+    c = poseidon_constants(arity)
+    t = c.t
+    r_f_half = c.r_f // 2
+    r_p = c.r_p
+    rounds = c.r_f + c.r_p
+
+    def kernel(
+        state_ref, rc_ref, wf_ref, wdl_ref, w1_ref, w2_ref, out_ref,
+        scratch, w2_buf, w2_sem,
+    ):
+        def mix_mxu(elems, w_ref):
+            # M-chunked: dot + REDC two output elements (128 rows) at a
+            # time so the f32 matmul output never materializes at
+            # [t*64, R, 128] (the full-width form blew the 16M VMEM
+            # scoped-stack limit at t=12)
+            B = _to_bytes_bf16(elems)
+            outs = []
+            for i0 in range(0, t, 2):
+                hi = min(i0 + 2, t)
+                o8 = _mxu_matmul(w_ref[i0 * 64 : hi * 64], B)
+                for i in range(hi - i0):
+                    outs.append(_redc_wide(_recombine16(o8, i)))
+            return outs
+
+        def full_round(r, state):
+            new = []
+            for i in range(t):
+                e = _add_const_ref(state[i], rc_ref, (r * t + i) * N_LIMBS)
+                new.append(_sbox(e, scratch))
+            return mix_mxu(new, wf_ref)
+
+        def sparse_round(k, state):
+            new = [
+                _add_const_ref(
+                    state[i], rc_ref, ((r_f_half + k) * t + i) * N_LIMBS
+                )
+                for i in range(t)
+            ]
+            # w_hat weights for this round stream HBM -> VMEM (resident
+            # storage would tile-pad [57,(t-1)*64,32] bf16 to ~10MB)
+            dma = pltpu.make_async_copy(w2_ref.at[k], w2_buf, w2_sem)
+            dma.start()
+            new[0] = _sbox(new[0], scratch)
+            B = _to_bytes_bf16(new)
+            o1 = _mxu_matmul(w1_ref[k], B)  # [64, R, 128] out0 wide
+            dma.wait()
+            # B rows beyond x0's 32 are zero-weighted (w2 K-pad)
+            b2 = jnp.concatenate(
+                [B[:32], jnp.zeros((96,) + B.shape[1:], B.dtype)], axis=0
+            )
+            outs = [_redc_wide(_recombine16(o1, 0))]
+            for i0 in range(0, t - 1, 2):  # M-chunked like mix_mxu
+                hi = min(i0 + 2, t - 1)
+                o2 = _mxu_matmul(w2_buf[i0 * 64 : hi * 64], b2)
+                for i in range(hi - i0):
+                    wi = _redc_wide(_recombine16(o2, i))
+                    outs.append(_add_mod(wi, new[i0 + i + 1]))
+            return outs
+
+        def run(state_stack, lo, hi, fn):
+            def body(r, s):
+                lst = [s[i] for i in range(t)]
+                return jnp.stack(fn(r, lst), axis=0)
+
+            return jax.lax.fori_loop(lo, hi, body, state_stack)
+
+        s = jnp.stack([state_ref[i] for i in range(t)], axis=0)
+        s = run(s, 0, r_f_half, full_round)
+        s = run(s, 0, r_p, sparse_round)
+        s = jnp.stack(mix_mxu([s[i] for i in range(t)], wdl_ref), axis=0)
+        s = run(s, r_f_half + r_p, rounds, full_round)
+        out_ref[:] = s
+
+    return kernel, t, rounds
+
+
+@partial(jax.jit, static_argnames=("arity",))
+def permute_soa_mxu(states, arity: int):
+    """MXU-mix variant of permute_soa. states: [t, 16, N] SoA
+    Montgomery; N a multiple of MXU_BLOCK."""
+    kernel, t, rounds = _make_permute_kernel_mxu(arity)
+    rc, _, _, _, _ = _staged(arity)
+    wf, wdl, w1, w2 = _staged_mxu(arity)
+    N = states.shape[2]
+    assert N % MXU_BLOCK == 0
+    s3 = states.reshape(t, N_LIMBS, N // 128, 128)
+    grid = (N // MXU_BLOCK,)
+    state_spec = pl.BlockSpec(
+        (t, N_LIMBS, MXU_ROWS, 128), lambda i: (0, 0, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    rc_flat = np.asarray(rc).reshape(-1)
+    vmem_all = lambda a: pl.BlockSpec(
+        a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (t, N_LIMBS, N // 128, 128), jnp.uint32
+        ),
+        grid=grid,
+        in_specs=[
+            state_spec,
+            pl.BlockSpec(
+                (rc_flat.size,), lambda i: (0,), memory_space=pltpu.SMEM
+            ),
+            vmem_all(wf),
+            vmem_all(wdl),
+            vmem_all(w1),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # w2 stays in HBM
+        ],
+        out_specs=state_spec,
+        scratch_shapes=[
+            pltpu.VMEM((N_LIMBS, MXU_ROWS, 128), jnp.uint32),
+            pltpu.VMEM(w2.shape[1:], jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=jax.default_backend() == "cpu",
+    )(s3, jnp.asarray(rc_flat), wf, wdl, w1, w2)
+    return out.reshape(t, N_LIMBS, N)
+
+
 @partial(jax.jit, static_argnames=("arity",))
 def permute_soa(states, arity: int):
     """states: [t, 16, N] SoA Montgomery; N a multiple of POS_BLOCK.
@@ -373,22 +624,37 @@ def permute_soa(states, arity: int):
     return out.reshape(t, N_LIMBS, N)
 
 
-def hash_mont_soa(preimages, arity: int):
+def _kernel_choice(kernel: str) -> str:
+    if kernel == "auto":
+        import os
+
+        return os.environ.get("FIL_PROOFS_POSEIDON_KERNEL", "mxu")
+    return kernel
+
+
+def hash_mont_soa(preimages, arity: int, kernel: str = "auto"):
     """preimages: [arity, 16, N] SoA Montgomery. Returns [16, N] digests
-    (Merkle domain tag in state[0]; digest = state[1])."""
+    (Merkle domain tag in state[0]; digest = state[1]). kernel: "vpu"
+    (limb VPU mix) | "mxu" (systolic-array linear maps) | "auto"
+    (FIL_PROOFS_POSEIDON_KERNEL, default mxu)."""
     tag = _staged(arity)[-1]
     N = preimages.shape[2]
     tag_plane = jnp.broadcast_to(
         jnp.asarray(tag)[None, :, None], (1, N_LIMBS, N)
     )
     states = jnp.concatenate([tag_plane, preimages], axis=0)
-    out = permute_soa(states, arity)
+    permute = (
+        permute_soa_mxu if _kernel_choice(kernel) == "mxu" else permute_soa
+    )
+    out = permute(states, arity)
     return out[1]
 
 
-def hash_level_packed(nodes, arity: int):
+def hash_level_packed(nodes, arity: int, kernel: str = "auto"):
     """[N, 16] packed Montgomery nodes -> [N//arity, 16] parents via the
-    pallas kernel (pads the batch up to POS_BLOCK internally)."""
+    pallas kernel (pads the batch up to POS_BLOCK internally; POS_BLOCK
+    is a multiple of MXU_BLOCK so both kernels accept the padded
+    batch)."""
     n = nodes.shape[0]
     assert n % arity == 0
     batch = n // arity
@@ -398,5 +664,5 @@ def hash_level_packed(nodes, arity: int):
         pre = jnp.concatenate(
             [pre, jnp.zeros((arity, N_LIMBS, pad), jnp.uint32)], axis=2
         )
-    out = hash_mont_soa(pre, arity)
+    out = hash_mont_soa(pre, arity, kernel=kernel)
     return out[:, :batch].T

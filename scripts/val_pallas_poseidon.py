@@ -39,24 +39,24 @@ def from_mont_ints(limbs):
     return FR.from_limbs(np.asarray(fr_ops.from_mont(limbs)))
 
 
-def validate(arity: int, groups: int = 40) -> None:
+def validate(arity: int, groups: int = 40, kernel: str = "vpu") -> None:
     vals = rand_fr(arity * groups)
     nodes = to_mont_packed(vals)
-    out = hash_level_packed(nodes, arity)
+    out = hash_level_packed(nodes, arity, kernel=kernel)
     got = from_mont_ints(out)
     want = [
         poseidon_hash(vals[i : i + arity], arity)
         for i in range(0, len(vals), arity)
     ]
     bad = [i for i, (g, w) in enumerate(zip(got, want)) if g != w]
-    assert not bad, f"arity {arity}: {len(bad)}/{groups} mismatches, first {bad[:3]}"
-    print(f"arity {arity}: bit-exact over {groups} hashes")
+    assert not bad, f"arity {arity} [{kernel}]: {len(bad)}/{groups} mismatches, first {bad[:3]}"
+    print(f"arity {arity} [{kernel}]: bit-exact over {groups} hashes")
 
 
-def bench(arity: int, batch: int, iters: int = 5) -> float:
+def bench(arity: int, batch: int, iters: int = 5, kernel: str = "vpu") -> float:
     n = batch * arity
     pads = (-batch) % POS_BLOCK
-    print(f"bench arity={arity} batch={batch} (pad {pads})")
+    print(f"bench arity={arity} batch={batch} kernel={kernel} (pad {pads})")
     bufs = [
         jnp.asarray(
             rng.integers(0, 1 << 16, size=(n, FR.n), dtype=np.uint32)
@@ -64,12 +64,12 @@ def bench(arity: int, batch: int, iters: int = 5) -> float:
         for _ in range(3)
     ]
     # warm compile
-    fetch_sync(hash_level_packed(bufs[0], arity))
+    fetch_sync(hash_level_packed(bufs[0], arity, kernel=kernel))
     best = 1e30
     for i in range(iters):
         b = bufs[i % len(bufs)]
         t0 = time.perf_counter()
-        fetch_sync(hash_level_packed(b, arity))
+        fetch_sync(hash_level_packed(b, arity, kernel=kernel))
         dt = time.perf_counter() - t0
         best = min(best, dt)
         print(f"  iter {i}: {dt*1e3:.1f} ms  {batch/dt/1e6:.3f} M hashes/s")
@@ -78,9 +78,19 @@ def bench(arity: int, batch: int, iters: int = 5) -> float:
 
 
 if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kernel", default="both", choices=["vpu", "mxu", "both"])
+    ap.add_argument("--bench-only", action="store_true")
+    args = ap.parse_args()
+    kernels = ["vpu", "mxu"] if args.kernel == "both" else [args.kernel]
     print(jax.devices())
-    for a in (2, 8, 11):
-        validate(a)
-    bench(8, 1 << 17)
-    bench(8, 1 << 20)
-    bench(2, 1 << 20)
+    for k in kernels:
+        if not args.bench_only:
+            for a in (2, 8, 11):
+                validate(a, kernel=k)
+        bench(8, 1 << 17, kernel=k)
+        bench(11, 1 << 17, kernel=k)
+        bench(8, 1 << 20, kernel=k)
+        bench(2, 1 << 20, kernel=k)

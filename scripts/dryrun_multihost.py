@@ -200,6 +200,7 @@ def parent(nprocs: int) -> int:
 
     def run(n: int) -> tuple[bool, dict]:
         port = _free_port()
+        logs = [open(f"/tmp/mh_worker_{n}proc_{i}.log", "w") for i in range(n)]
         procs = [
             subprocess.Popen(
                 [sys.executable, "-u", me, "--proc", str(i),
@@ -212,8 +213,12 @@ def parent(nprocs: int) -> int:
             for i in range(n)
         ]
         outs, ok = [], True
-        deadline = time.time() + 900
-        for p in procs:
+        # cold legs (FIL_PROOFS_JAX_CACHE=0, every kernel recompiles)
+        # total ~12-15 min per run; a 900s deadline used to kill proc 0
+        # mid-leg, which then cascaded as "coordination service detected
+        # fatal errors" on the peer
+        deadline = time.time() + 2400
+        for i, p in enumerate(procs):
             try:
                 out, _ = p.communicate(timeout=max(5, deadline - time.time()))
             except subprocess.TimeoutExpired:
@@ -221,6 +226,8 @@ def parent(nprocs: int) -> int:
                 out, _ = p.communicate()
                 ok = False
             outs.append(out)
+            logs[i].write(out)
+            logs[i].close()
             ok = ok and p.returncode == 0
         worker0 = {}
         for line in "".join(outs).splitlines():

@@ -33,8 +33,58 @@ def _tmap(f, *trees):
     return jax.tree_util.tree_map(f, *trees)
 
 
+def _pack_planes(planes):
+    """[k*16, N] canonical 16-bit-limb u32 planes -> [k*8, N] with two
+    limbs per word. The bucket-fill gather is HBM-byte-rate bound
+    (~2.4 GB/s useful on v5e — r4 probe: a 24-row take runs 24.2M
+    rows/s, a 48-row take 12.6M, i.e. bytes/s constant), so halving the
+    table bytes halves the dominant MSM stage."""
+    return jnp.concatenate(
+        [p[0::2] | (p[1::2] << 16) for p in planes], axis=0
+    )
+
+
+def _unpack_rows(packed, k):
+    """Inverse of _pack_planes on gathered [k*12, P] rows -> k planes of
+    [24, P] canonical limbs."""
+    half = N_LIMBS // 2
+    outs = []
+    for i in range(k):
+        w = packed[i * half : (i + 1) * half]
+        lo = w & jnp.uint32(0xFFFF)
+        hi = w >> 16
+        # interleave back: limb 2j from lo[j], 2j+1 from hi[j]
+        outs.append(
+            jnp.stack([lo, hi], axis=1).reshape(N_LIMBS, *w.shape[1:])
+        )
+    return outs
+
+
+def _permute_lanes_packed(tree, idx):
+    """Lane permutation of a canonical-limb SoA pytree through ONE
+    packed take (half the bytes of per-plane takes)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    rows = _pack_planes(leaves)[:, idx]
+    return jax.tree_util.tree_unflatten(treedef, _unpack_rows(rows, len(leaves)))
+
+
+def _neg_fq_plane(y):
+    """p - y on a [24, P] canonical-limb plane (y == 0 stays 0)."""
+    p_limbs = jnp.asarray(np.asarray(FQ.p_np, np.uint32))[:, None]
+    borrow = jnp.zeros_like(y[0])
+    diff = []
+    for j in range(N_LIMBS):
+        s = y[j] + borrow
+        d = p_limbs[j] - s
+        borrow = (p_limbs[j] < s).astype(jnp.uint32)
+        diff.append(d & jnp.uint32(0xFFFF))
+    is_zero = (y.astype(jnp.int32).max(axis=0) == 0)
+    return jnp.where(is_zero[None, :], y, jnp.stack(diff, axis=0))
+
+
 class _G1Ops:
-    """Adapter: acc pytree (X, Y, Z), affine q (x, y), planes [24, N]."""
+    """Adapter: acc pytree (X, Y, Z), affine q (x, y); the gather table
+    is one packed [2*8, N] plane (x||y, two 16-bit limbs per word)."""
 
     block = pg1.G1_BLOCK
     name = "g1"
@@ -48,9 +98,18 @@ class _G1Ops:
         return (one, one, z)
 
     @staticmethod
-    def gather(points, idx):
+    def pack_table(points):
         px, py = points
-        return (px[:, idx], py[:, idx])
+        return _pack_planes([px, py])
+
+    @staticmethod
+    def gather(table, idx):
+        return tuple(_unpack_rows(table[:, idx], 2))
+
+    @staticmethod
+    def negate_y(q, neg):
+        x, y = q
+        return (x, jnp.where(neg[None, :] == 1, _neg_fq_plane(y), y))
 
     @staticmethod
     def madd_split(acc, q, valid):
@@ -82,8 +141,26 @@ class _G2Ops:
         return ((one, z), (one, z), (z, z))
 
     @staticmethod
-    def gather(points, idx):
-        return _tmap(lambda p: p[:, idx], points)
+    def pack_table(points):
+        (x0, x1), (y0, y1) = points
+        return _pack_planes([x0, x1, y0, y1])
+
+    @staticmethod
+    def gather(table, idx):
+        x0, x1, y0, y1 = _unpack_rows(table[:, idx], 4)
+        return ((x0, x1), (y0, y1))
+
+    @staticmethod
+    def negate_y(q, neg):
+        x, (y0, y1) = q
+        m = neg[None, :] == 1
+        return (
+            x,
+            (
+                jnp.where(m, _neg_fq_plane(y0), y0),
+                jnp.where(m, _neg_fq_plane(y1), y1),
+            ),
+        )
 
     madd_split = staticmethod(pg2.madd_nodbl_soa)
     dbl = staticmethod(pg2.dbl_soa)
@@ -95,7 +172,40 @@ class _G2Ops:
         return (x, y, _tmap(lambda t: jnp.where(keep[None, :], t, 0), z))
 
 
-def _bucket_accumulate_soa(ops, points, digits, n_buckets):
+def _reslice_signed(scalars, c):
+    """Signed c-bit windows (carry recode): returns (idx, neg) [W, N]
+    u32 where idx = |digit| - 1 (zero digits become the 0xffffffff
+    sentinel, which sorts past every real lane) and neg flags digits
+    recoded as negatives. Digit range is the asymmetric
+    [-(2^(c-1)-1), 2^(c-1)], so bucket values 1..2^(c-1) fill EXACTLY
+    2^(c-1) lanes — half the unsigned lane space, which is what lets
+    c=20 windows fit HBM at 2^24 (the unsigned attempt OOM'd).
+    Negated digits cost one conditional y-negation at gather time
+    (negation is free on short-Weierstrass points)."""
+    from ..msm import _reslice_digits
+
+    digits = _reslice_digits(scalars, 1 << c)
+    W = digits.shape[0]
+    # the final carry must die in the top window: top digit + 1 must
+    # stay <= 2^(c-1), i.e. at least one spare bit above bit 255
+    assert c * W >= 256, (c, W)
+    half = jnp.uint32(1 << (c - 1))
+    full = jnp.uint32(1 << c)
+    idxs, negs = [], []
+    carry = jnp.zeros_like(digits[0])
+    for w in range(W):
+        d = digits[w] + carry
+        neg = (d > half).astype(jnp.uint32)
+        mag = jnp.where(neg == 1, full - d, d)
+        carry = neg
+        idxs.append(mag - 1)  # mag 0 -> sentinel 0xffffffff
+        negs.append(neg)
+    return jnp.stack(idxs), jnp.stack(negs)
+
+
+def _bucket_accumulate_soa(
+    ops, points, digits, n_buckets, neg=None, prepacked=False
+):
     """Bucket sums via count-sorted prefix rank passes. digits [W, N]
     uint32. Returns SoA accumulator pytree with flattened [W * B] lane
     axis (window-major bucket order).
@@ -121,14 +231,31 @@ def _bucket_accumulate_soa(ops, points, digits, n_buckets):
     starts = jax.vmap(
         lambda sd: jnp.searchsorted(sd, bucket_ids, side="left")
     )(sorted_digits).astype(jnp.int32)
-    ends = jax.vmap(
-        lambda sd: jnp.searchsorted(sd, bucket_ids, side="right")
-    )(sorted_digits).astype(jnp.int32)
+    # dense bucket ids: end of run b == start of run b+1 — saves the
+    # second 13M-lane searchsorted at large c. The last run ends at N
+    # (unsigned: every digit is a real bucket) or at the first signed
+    # sentinel (one extra single-id searchsorted).
+    if neg is None:
+        last = jnp.full((W, 1), N, jnp.int32)
+    else:
+        last = jax.vmap(
+            lambda sd: jnp.searchsorted(sd, jnp.uint32(B), side="left")
+        )(sorted_digits).astype(jnp.int32)[:, None]
+    ends = jnp.concatenate([starts[:, 1:], last], axis=1)
     counts = ends - starts  # [W, B]
-    counts = jnp.where(bucket_ids[None, :] == 0, 0, counts)
+    if neg is None:
+        # unsigned lane b holds bucket VALUE b: value 0 is dead
+        counts = jnp.where(bucket_ids[None, :] == 0, 0, counts)
 
     WB = W * B
-    order_flat = order.reshape(W * N).astype(jnp.int32)
+    if neg is None:
+        order_flat = order.reshape(W * N).astype(jnp.uint32)
+    else:
+        # ride the sign in bit 31 of the order entry (order < N <= 2^30)
+        neg_sorted = jnp.take_along_axis(neg, order, axis=1)
+        order_flat = order.reshape(W * N).astype(jnp.uint32) | (
+            neg_sorted.reshape(W * N) << 31
+        )
     win = jnp.arange(WB, dtype=jnp.int32) // B
     counts_f = counts.reshape(WB)
     base_f = win * N + starts.reshape(WB)  # lane -> its run in order_flat
@@ -154,11 +281,19 @@ def _bucket_accumulate_soa(ops, points, digits, n_buckets):
         nxt = -(-(prefixes[-1] // 4) // ops.block) * ops.block
         prefixes.append(max(nxt, ops.block))
 
+    # packed once; halves gather bytes. Callers at memory-critical sizes
+    # pre-pack outside the jit so the unpacked planes never coexist
+    # with the accumulator (2^24 c=20 signed OOM'd 16GB otherwise).
+    table = points if prepacked else ops.pack_table(points)
+
     def make_body(base_pref, cnt_pref):
         def body(state):
             s, a = state
             idx = jnp.clip(base_pref + s, 0, W * N - 1)
-            q = ops.gather(points, order_flat[idx])
+            v = order_flat[idx]
+            q = ops.gather(table, (v & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32))
+            if neg is not None:
+                q = ops.negate_y(q, v >> 31)
             # fast madd (no doubling path); P==Q lanes are flagged and
             # doubled out of band only on passes that hit one (rare
             # for distinct bases)
@@ -198,7 +333,7 @@ def _bucket_accumulate_soa(ops, points, digits, n_buckets):
         lambda *ts: jnp.concatenate(ts[::-1], axis=-1), *segments
     )
     inv = jnp.argsort(perm)[:WB]  # back to window-major bucket order
-    return _tmap(lambda t: t[..., inv], acc_sorted)
+    return _permute_lanes_packed(acc_sorted, inv)
 
 
 def _add_padded(ops, a, b):
@@ -320,31 +455,68 @@ def _aggregate_split(ops, acc, W, B):
     return _add_padded(ops, hi_tot, lo_tot)
 
 
-def _stages(ops, points, scalars, n_buckets):
+def _stages(ops, points, scalars, n_buckets, signed=False, prepacked=False):
     # The count-sorted accumulate schedule absorbs any digit
     # distribution (incl. the mod-r-skewed top window that previously
     # needed a replica split), so digits go in as-is. W*B only needs to
     # be a kernel-block multiple for the aggregation scans.
+    if signed:
+        c = int(n_buckets).bit_length() - 1
+        digits, neg = _reslice_signed(scalars, c)
+        W = digits.shape[0]
+        Bl = n_buckets // 2  # lanes hold bucket values 1..2^(c-1)
+        acc = _bucket_accumulate_soa(
+            ops, points, digits, Bl, neg=neg, prepacked=prepacked
+        )
+        split = (
+            _aggregate_split(ops, acc, W, Bl)
+            if Bl >= (1 << 12)
+            else _aggregate_soa(ops, acc, W, Bl)
+        )
+        # lane weight is lane+1: add the plain per-window bucket sum
+        offset = _tree_reduce_inner(ops, acc, W, Bl)
+        return _add_padded(ops, split, offset)
     digits = _reslice_digits(scalars, n_buckets).astype(jnp.uint32)
     W = digits.shape[0]
-    acc = _bucket_accumulate_soa(ops, points, digits, n_buckets)
+    acc = _bucket_accumulate_soa(
+        ops, points, digits, n_buckets, prepacked=prepacked
+    )
     if n_buckets >= (1 << 12):
         return _aggregate_split(ops, acc, W, n_buckets)
     return _aggregate_soa(ops, acc, W, n_buckets)
 
 
-@functools.partial(jax.jit, static_argnames=("n_buckets",))
-def msm_pallas_stages(px, py, scalars, n_buckets=1 << 16):
+@jax.jit
+def pack_table_g1(px, py):
+    """[24, N] x/y planes -> one packed [24, N] gather table (x||y, two
+    16-bit limbs per word). For msm_pallas_stages_packed."""
+    return _pack_planes([px, py])
+
+
+@functools.partial(jax.jit, static_argnames=("n_buckets", "signed"))
+def msm_pallas_stages_packed(table, scalars, n_buckets=1 << 16, signed=False):
+    """msm_pallas_stages over a pre-packed table (pack_table_g1) — the
+    memory-lean entry: the unpacked planes can be freed before the
+    accumulator allocates."""
+    return _stages(
+        _G1Ops, table, scalars, n_buckets, signed=signed, prepacked=True
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_buckets", "signed"))
+def msm_pallas_stages(px, py, scalars, n_buckets=1 << 16, signed=False):
     """G1 bucket accumulation + aggregation on device. Returns
     per-window totals as SoA [24, W] Jacobian (Montgomery), windows
-    ascending."""
-    return _stages(_G1Ops, (px, py), scalars, n_buckets)
+    ascending. signed=True uses the signed-digit recode (half the
+    bucket lanes per window; requires c >= 17 so the carry dies in the
+    top window)."""
+    return _stages(_G1Ops, (px, py), scalars, n_buckets, signed=signed)
 
 
-@functools.partial(jax.jit, static_argnames=("n_buckets",))
-def msm_pallas_stages_g2(points, scalars, n_buckets=1 << 16):
+@functools.partial(jax.jit, static_argnames=("n_buckets", "signed"))
+def msm_pallas_stages_g2(points, scalars, n_buckets=1 << 16, signed=False):
     """G2 variant: points ((x0,x1),(y0,y1)) planes [24, N]."""
-    return _stages(_G2Ops, points, scalars, n_buckets)
+    return _stages(_G2Ops, points, scalars, n_buckets, signed=signed)
 
 
 def _sum_points(ops, pts_jac):
@@ -448,7 +620,7 @@ def _combine_host(pts, c, add_fn, inf):
     return res
 
 
-def msm_pallas(points_packed, scalars, n_buckets: int = 1 << 16):
+def msm_pallas(points_packed, scalars, n_buckets: int = 1 << 16, signed=False):
     """Full G1 MSM. points_packed: (px [N, 24], py [N, 24]) Montgomery
     affine (ops/g1_jax.points_to_device layout); scalars [N, 16] uint32
     plain limbs. Returns one host-side Jacobian int tuple.
@@ -460,7 +632,7 @@ def msm_pallas(points_packed, scalars, n_buckets: int = 1 << 16):
     from ..fr_limbs import fq_ops
 
     px, py = points_packed
-    totals = msm_pallas_stages(px.T, py.T, scalars, n_buckets)
+    totals = msm_pallas_stages(px.T, py.T, scalars, n_buckets, signed=signed)
     c = int(n_buckets).bit_length() - 1
     xs = fq_ops.decode(totals[0].T)
     ys = fq_ops.decode(totals[1].T)

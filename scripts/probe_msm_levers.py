@@ -65,28 +65,31 @@ def main():
         fused = jnp.tile(s, (1, N // 1024)) ^ jnp.arange(
             N, dtype=jnp.uint32
         )[None, :]
-        return fused, fused.T  # [48, N] SoA and [N, 48] row-major
+        # slice INSIDE the jit: eager __getitem__ over the axon tunnel
+        # pulls the whole source buffer host-side (hung the r4 probe)
+        return fused, fused.T, fused[:24], fused[24:]
 
-    fused, rowm = make_tables(seed)
-    sync(fused)
-    soa, soa2 = fused[:24], fused[24:]
-    sync(soa)
+    fused, rowm, soa, soa2 = make_tables(seed)
+    sync(jax.jit(lambda t: t.sum())(fused))  # scalar barrier, no big pull
     print("tables built", flush=True)
 
-    # reduce each gather to ONE u32 on device — fetch_sync pulls the
-    # result through the tunnel, and a [24, 2^20] pull never returned
-    two_takes = jax.jit(lambda i: soa[:, i].sum() + soa2[:, i].sum())
-    one_take = jax.jit(lambda i: fused[:, i].sum())
-    row_take = jax.jit(lambda i: rowm[i, :].sum())
-    row_take_t = jax.jit(lambda i: rowm[i, :].T.reshape(2, 24, -1).sum())
+    # tables are ARGUMENTS, not closures: a jit-closure over a device
+    # array embeds it as an HLO constant, and the axon tunnel ships the
+    # whole 800MB literal at compile time (hung two probe attempts)
+    two_takes = jax.jit(lambda a, b, i: a[:, i].sum() + b[:, i].sum())
+    one_take = jax.jit(lambda a, i: a[:, i].sum())
+    row_take = jax.jit(lambda a, i: a[i, :].sum())
+    row_take_t = jax.jit(
+        lambda a, i: a[i, :].T.reshape(2, 24, -1).sum()
+    )
 
-    for name, fn in [
-        ("two SoA takes (current)", two_takes),
-        ("one fused [48,N] take", one_take),
-        ("row-major [N,48] take", row_take),
-        ("row-major take + transpose to SoA", row_take_t),
+    for name, fn, args in [
+        ("two SoA takes (current)", two_takes, (soa, soa2, idx)),
+        ("one fused [48,N] take", one_take, (fused, idx)),
+        ("row-major [N,48] take", row_take, (rowm, idx)),
+        ("row-major take + transpose to SoA", row_take_t, (rowm, idx)),
     ]:
-        dt = bench(fn, idx)
+        dt = bench(fn, *args)
         print(
             f"{name:40s} {G/dt/1e6:8.2f} M point-rows/s  ({dt*1e3:.1f} ms)",
             flush=True,

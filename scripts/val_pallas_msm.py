@@ -51,17 +51,21 @@ from crypto3_fil_proofs_tpu.ops.pallas.msm import (
 assert jax.default_backend() != "cpu", "needs a TPU"
 
 
-def check_g1(n, scalars, n_buckets, label):
+def check_g1(n, scalars, n_buckets, label, signed=False):
     rng = random.Random(7)
     base = g1_from_affine(G1_GEN)
     pts = [g1_mul(base, rng.randrange(1, R)) for _ in range(min(n, 256))]
     pts = (pts * ((n + len(pts) - 1) // len(pts)))[:n]
     px, py, _ = g1_jax.points_to_device(pts)
     sc = np.asarray(msm_mod.scalars_to_device(scalars))
-    got = msm_pallas((np.asarray(px), np.asarray(py)), sc, n_buckets=n_buckets)
+    got = msm_pallas(
+        (np.asarray(px), np.asarray(py)), sc, n_buckets=n_buckets,
+        signed=signed,
+    )
     want = g1_msm_naive(pts, scalars)
     ok = g1_eq(got, want)
-    print(f"g1 {label:24s} n={n:6d} c={n_buckets.bit_length()-1:2d} "
+    tag = "s" if signed else " "
+    print(f"g1 {label:24s} n={n:6d} c={n_buckets.bit_length()-1:2d}{tag}"
           f"{'OK' if ok else 'FAIL'}", flush=True)
     return ok
 
@@ -105,6 +109,14 @@ def main():
     all_ok &= check_g1(n, zeros, 1 << 16, "zero/edge split-agg")
     all_ok &= check_g1(n, dense, 1 << 16, "dense split-agg")
     all_ok &= check_g2(m, uniform2, 1 << 16, "uniform split-agg")
+
+    # signed-digit recode (c must satisfy c*W >= 256): exercises the
+    # sentinel lanes, the bit-31 sign channel, y-negation, and the
+    # (lane+1)-weight aggregation
+    all_ok &= check_g1(n, uniform, 1 << 8, "uniform signed", signed=True)
+    all_ok &= check_g1(n, zeros, 1 << 8, "zero/edge signed", signed=True)
+    all_ok &= check_g1(n, dense, 1 << 8, "dense signed", signed=True)
+    all_ok &= check_g1(n, uniform, 1 << 16, "uniform signed split", signed=True)
 
     if "--anyc" in sys.argv:
         # non-byte-aligned windows (odd split: Bhi != Blo at c=21).

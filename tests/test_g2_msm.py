@@ -48,7 +48,6 @@ def test_g2_double_add_match_host(rng_seed):
         assert g2_eq(g, g2_add(p, p))  # same point -> doubling path
 
 
-@pytest.mark.device_heavy
 def test_g2_msm_matches_naive(rng_seed):
     rng = random.Random(rng_seed + 1)
     pts = _rand_points(8, rng_seed + 2)

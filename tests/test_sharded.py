@@ -55,7 +55,6 @@ def test_sharded_tree_matches_local(mesh, rng_seed):
     assert np.array_equal(np.asarray(top), np.asarray(fold[0]))
 
 
-@pytest.mark.device_heavy
 def test_sharded_msm_matches_naive(mesh, rng_seed):
     rng = random.Random(rng_seed)
     n = 32  # 4 points per device

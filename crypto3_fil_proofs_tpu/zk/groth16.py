@@ -615,21 +615,43 @@ def _compute_h(cs_finalized, assignment, log_n):
     b_m = to_mont(b_evals)
     c_m = to_mont(c_evals)
 
-    a_coeff = intt(a_m, log_n)
-    b_coeff = intt(b_m, log_n)
-    c_coeff = intt(c_m, log_n)
-    a_cos = coset_ntt(a_coeff, log_n)
-    b_cos = coset_ntt(b_coeff, log_n)
-    c_cos = coset_ntt(c_coeff, log_n)
-    ab = frops.mont_mul(a_cos, b_cos)
-    num = frops.sub(ab, c_cos)
     # Z on the coset is constant: g^m - 1
     from ..ops.ntt import FR_MULT_GEN
 
     z_inv = pow((pow(FR_MULT_GEN, m, R) - 1) % R, R - 2, R)
-    z_inv_m = frops.encode(z_inv)
-    h_cos = frops.mont_mul(num, z_inv_m)
-    h_coeff = coset_intt(h_cos, log_n)
+    use_pallas = os.environ.get("FIL_PROOFS_NTT_BACKEND", "auto")
+    if use_pallas == "auto":
+        import jax as _jax
+
+        use_pallas = (
+            "pallas" if _jax.default_backend() != "cpu" and log_n >= 14
+            else "xla"
+        )
+    if use_pallas == "pallas":
+        # four-step pallas path (ops/pallas/ntt.py): bit-identical to
+        # the XLA chain below (val_pallas_ntt h-parity leg), ~12x less
+        # wall on the 7 transforms of a 2^20 domain
+        from ..ops.fr_limbs import FR as _FRF
+        from ..ops.pallas.ntt import h_pipeline, release as _prelease
+
+        z_limbs = jnp.asarray(
+            _FRF.to_limbs([(z_inv * _FRF.mont_r) % R])[0]
+        )
+        h_coeff = h_pipeline(a_m, b_m, c_m, log_n, z_limbs)
+        if log_n >= 20:
+            _prelease(log_n)
+    else:
+        a_coeff = intt(a_m, log_n)
+        b_coeff = intt(b_m, log_n)
+        c_coeff = intt(c_m, log_n)
+        a_cos = coset_ntt(a_coeff, log_n)
+        b_cos = coset_ntt(b_coeff, log_n)
+        c_cos = coset_ntt(c_coeff, log_n)
+        ab = frops.mont_mul(a_cos, b_cos)
+        num = frops.sub(ab, c_cos)
+        z_inv_m = frops.encode(z_inv)
+        h_cos = frops.mont_mul(num, z_inv_m)
+        h_coeff = coset_intt(h_cos, log_n)
     h_plain = np.asarray(frops.from_mont(h_coeff))
     if log_n >= 20:
         # free the ~1 GB of device twiddle tables before the MSMs — the

@@ -37,6 +37,40 @@ def log(msg: str) -> None:
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
+class RssSampler:
+    """Per-phase peak RSS via a 0.5s /proc/self/status sampler (the
+    32GiB memory model's evidence: VERDICT r3 #4 wants seal RSS < 3x
+    sector size after the bounded-batch PC2 / windowed parent table)."""
+
+    def __init__(self):
+        import threading
+
+        self.peak = 0
+        self._stop = False
+
+        def run():
+            while not self._stop:
+                self.peak = max(self.peak, self._rss())
+                time.sleep(0.5)
+
+        self.t = threading.Thread(target=run, daemon=True)
+        self.t.start()
+
+    @staticmethod
+    def _rss() -> int:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) * 1024
+        return 0
+
+    def phase(self) -> str:
+        """Return current phase peak and reset for the next phase."""
+        p = max(self.peak, self._rss())
+        self.peak = 0
+        return f"peakRSS={p / (1 << 30):.2f}GiB"
+
+
 def main() -> None:
     sector_size = int(sys.argv[1]) if len(sys.argv) > 1 else 8 * 1024 * 1024
 
@@ -65,18 +99,19 @@ def main() -> None:
         (i * 37 + 11) % 256 for i in range(min(piece_size, 1 << 16))
     ) * ((piece_size + (1 << 16) - 1) // (1 << 16))
     piece = piece[:piece_size]
+    rss = RssSampler()
     t0 = time.time()
     info, _ = api_mod.add_piece(piece, staged, piece_size, [])
-    log(f"add_piece {time.time()-t0:.1f}s comm_p={info.commitment.hex()[:16]}")
+    log(f"add_piece {time.time()-t0:.1f}s comm_p={info.commitment.hex()[:16]} {rss.phase()}")
 
     t0 = time.time()
     p1 = api_seal.seal_pre_commit_phase1(
         config, cache, staged, sealed, PROVER_ID, SECTOR_ID, TICKET, [info]
     )
-    log(f"PC1 {time.time()-t0:.1f}s")
+    log(f"PC1 {time.time()-t0:.1f}s {rss.phase()}")
     t0 = time.time()
     p2 = api_seal.seal_pre_commit_phase2(config, p1, cache, sealed)
-    log(f"PC2 {time.time()-t0:.1f}s comm_r={p2.comm_r.hex()[:16]}")
+    log(f"PC2 {time.time()-t0:.1f}s comm_r={p2.comm_r.hex()[:16]} {rss.phase()}")
 
     t0 = time.time()
     c1 = api_seal.seal_commit_phase1(
@@ -84,7 +119,7 @@ def main() -> None:
     )
     log(
         f"C1 {time.time()-t0:.1f}s vanilla partitions="
-        f"{len(c1.vanilla_proofs)} (verified)"
+        f"{len(c1.vanilla_proofs)} (verified) {rss.phase()}"
     )
 
     t0 = time.time()
@@ -93,7 +128,7 @@ def main() -> None:
         0, 4096,
     )
     assert got == piece[:4096], "unseal_range mismatch vs original piece"
-    log(f"unseal_range roundtrip OK {time.time()-t0:.1f}s")
+    log(f"unseal_range roundtrip OK {time.time()-t0:.1f}s {rss.phase()}")
     log("PASS")
 
 

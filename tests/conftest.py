@@ -52,6 +52,10 @@ import pytest  # noqa: E402
 # way to see the dump while the process is still stuck).
 _stall_log = open(f"/tmp/pytest_stall_{os.getpid()}.log", "w")
 faulthandler.dump_traceback_later(300, repeat=True, file=_stall_log)
+# ... and make hard crashes (the XLA:CPU segfault class) leave a stack
+# in the same file instead of killing the run silently (r4: a full-suite
+# run died at test_groth16 with a clean-looking truncated log)
+faulthandler.enable(file=_stall_log, all_threads=True)
 
 
 @pytest.fixture(scope="session")

@@ -31,6 +31,22 @@ def _cubic_circuit(x: int) -> ConstraintSystem:
     return cs
 
 
+@pytest.fixture(autouse=True)
+def _purge_xla_per_test():
+    """This module compiles the largest XLA:CPU programs in the suite
+    (prove = NTT chain + 5 MSMs); with the whole suite's executables
+    already resident, allocation failure inside backend_compile
+    segfaults the process (r4: full-suite run died here silently).
+    The per-module purge in conftest runs too late — clear per test."""
+    yield
+    import gc
+
+    import jax
+
+    jax.clear_caches()
+    gc.collect()
+
+
 @pytest.fixture(scope="module")
 def cubic_keypair():
     cs = _cubic_circuit(3)

@@ -285,6 +285,45 @@ def cmd_split_keys(args) -> int:
     return 0
 
 
+def cmd_verifyd(args) -> int:
+    """Continuous verification daemon (reference main.cpp
+    `verifyd` / verify_param_transistions_daemon :416-560): watch for
+    successive params files `<base>_<n>` and verify each n -> n+1
+    transition as the files appear, sleeping between polls. `--rounds`
+    bounds the number of transitions (0 = run forever, the reference
+    daemon's behavior); `--sleep` mirrors its SLEEP_SECS=10."""
+    import time
+
+    base, _, n0 = args.base.rpartition("_")
+    if not n0.isdigit():
+        base, n0 = args.base, "0"
+    param_number = int(n0)
+    verified = 0
+
+    def _wait(path: str) -> None:
+        while not os.path.exists(path):
+            print(f"waiting for params file: {path}", flush=True)
+            time.sleep(args.sleep)
+
+    while args.rounds == 0 or verified < args.rounds:
+        before = f"{base}_{param_number}"
+        after = f"{base}_{param_number + 1}"
+        _wait(before)
+        _wait(after)
+
+        class _V:
+            old, new = before, after
+
+        rc = cmd_verify(_V)
+        if rc != 0:
+            print(f"FAIL: transition {before} -> {after}")
+            return rc
+        print(f"verified transition {before} -> {after}", flush=True)
+        param_number += 1
+        verified += 1
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="phase2")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -327,6 +366,15 @@ def main(argv=None) -> int:
     p_split.add_argument("path")
     p_split.add_argument("--prefix", required=True)
     p_split.set_defaults(fn=cmd_split_keys)
+
+    p_vd = sub.add_parser("verifyd")
+    p_vd.add_argument("base", help="first params file of the chain (…_0)")
+    p_vd.add_argument("--sleep", type=float, default=10.0)
+    p_vd.add_argument(
+        "--rounds", type=int, default=0,
+        help="stop after N verified transitions (0 = daemon forever)",
+    )
+    p_vd.set_defaults(fn=cmd_verifyd)
 
     args = ap.parse_args(argv)
     return args.fn(args)

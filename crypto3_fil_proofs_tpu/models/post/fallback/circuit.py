@@ -17,9 +17,7 @@ from __future__ import annotations
 from crypto3_fil_proofs_tpu.zk.gadgets.num import AllocatedNum
 from crypto3_fil_proofs_tpu.zk.gadgets.poseidon import hash2_circuit
 from crypto3_fil_proofs_tpu.zk.gadgets.por import (
-    pack_position_bits_into_inputs,
     packed_position_input_values,
-    por_circuit,
 )
 from crypto3_fil_proofs_tpu.zk.r1cs import ConstraintSystem
 
@@ -32,24 +30,6 @@ from .vanilla import (
 )
 
 _LE = lambda b: int.from_bytes(b, "little")
-
-
-def synthesize_sector(
-    cs: ConstraintSystem, comm_r: bytes, sector_proof
-) -> None:
-    """One sector's sub-circuit (reference circuit.hpp `Sector`)."""
-    comm_r_num = AllocatedNum.alloc_input(cs, _LE(comm_r), "comm_r")
-    comm_c_num = AllocatedNum.alloc(cs, _LE(sector_proof.comm_c), "comm_c")
-    comm_r_last = sector_proof.inclusion_proofs[0].root
-    comm_r_last_num = AllocatedNum.alloc(cs, _LE(comm_r_last), "comm_r_last")
-    hashed = hash2_circuit(cs, comm_c_num, comm_r_last_num)
-    AllocatedNum.equals(cs, hashed, comm_r_num)
-    for incl in sector_proof.inclusion_proofs:
-        leaf = AllocatedNum.alloc(cs, _LE(incl.leaf), "leaf")
-        bits = por_circuit(
-            cs, leaf, incl.as_options(), comm_r_last_num, hasher="poseidon"
-        )
-        pack_position_bits_into_inputs(cs, bits)
 
 
 _HEADER_TPL = None

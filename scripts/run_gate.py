@@ -55,12 +55,27 @@ def main() -> int:
             failures.append(name)
             sys.stdout.write(out[-3000:])
             sys.stdout.write((proc.stderr or "")[-2000:] + "\n")
-    print(
+    summary = (
         f"gate: {len(modules) - len(failures)}/{len(modules)} modules ok "
         f"in {time.time()-t_all:.0f}s"
-        + (f"; FAILED: {failures}" if failures else ""),
-        flush=True,
+        + (f"; FAILED: {failures}" if failures else "")
     )
+    print(summary, flush=True)
+    # the final line has been swallowed by pipes twice (VERDICT r4 weak
+    # #6) — persist the verdict where no pipe can lose it
+    import json
+
+    with open(os.path.join(REPO, "gate_summary.json"), "w") as f:
+        json.dump(
+            {
+                "ok": not failures,
+                "modules_ok": len(modules) - len(failures),
+                "modules_total": len(modules),
+                "failed": failures,
+                "wall_s": round(time.time() - t_all, 1),
+            },
+            f,
+        )
     return 1 if failures else 0
 
 

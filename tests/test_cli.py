@@ -92,6 +92,13 @@ def test_phase2_contribute_verify(tmp_path, monkeypatch, capsys):
     assert phase2.main(["verify", p0, p1]) == 0
     assert phase2.main(["small", p1]) == 0
 
+    # verifyd: the daemon walks the chain _0 -> _1 -> _2 as files appear
+    # (reference main.cpp verify_param_transistions_daemon :416-560;
+    # bounded via --rounds so the test terminates)
+    assert phase2.main(["contribute", p1, "--seed", "carol"]) == 0
+    assert os.path.exists(str(tmp_path / "ceremony_2"))
+    assert phase2.main(["verifyd", p0, "--sleep", "0.01", "--rounds", "2"]) == 0
+
     # proofs under the contributed key verify with the contributed vk
     new_pk = _load_pk(p1)
     cs = cubic(3)

@@ -9,6 +9,7 @@ ops/g1_jax (validated against ops/bls12_381 host G2).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -205,3 +206,46 @@ def points_from_device(p):
         ((a, b), (c, d), (e, f))
         for a, b, c, d, e, f in zip(X0, X1, Y0, Y1, Z0, Z1)
     ]
+
+
+# ---------------------------------------------------------------------------
+# Device batch normalization (Jacobian -> staged affine, no host loops)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _fq2_zinv_pieces(Z):
+    """Fq2 inversion reduces to Fq: 1/(a+bi) = (a-bi)/(a^2+b^2).
+    Returns (norm [n, 24], conj) for the batch-inverted norm path."""
+    a, b = Z
+    norm = fq_ops.add(fq_ops.mont_mul(a, a), fq_ops.mont_mul(b, b))
+    return norm, (a, fq_ops.neg(b))
+
+
+@jax.jit
+def _affine_from_zinv2(X, Y, zinv, valid):
+    zinv2 = f2_sq(zinv)
+    zinv3 = f2_mul(zinv2, zinv)
+    x = f2_mul(X, zinv2)
+    y = f2_mul(Y, zinv3)
+    m = valid[:, None]
+    zero = lambda pair: tuple(jnp.where(m, c, 0) for c in pair)
+    return zero(x), zero(y)
+
+
+def normalize_batch(X, Y, Z):
+    """Device G2 Jacobian batch -> staged affine (((x0,x1),(y0,y1)),
+    valid) with one host Fq inversion for the whole batch (mirrors
+    g1_jax.normalize_batch; Fq2 inverse via the conjugate/norm identity
+    so the batch scan stays in Fq)."""
+    from .g1_jax import batch_fq_inverse
+
+    valid = ~is_infinity((X, Y, Z))
+    norm, conj = _fq2_zinv_pieces(Z)
+    norm_inv = batch_fq_inverse(norm, valid)
+    zinv = (
+        fq_ops.mont_mul(conj[0], norm_inv),
+        fq_ops.mont_mul(conj[1], norm_inv),
+    )
+    x, y = _affine_from_zinv2(X, Y, zinv, valid)
+    return (x, y), valid

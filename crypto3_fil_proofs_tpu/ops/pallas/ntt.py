@@ -115,7 +115,8 @@ def _cios(a, limb_at):
 # -------------------------------------------------------------------------
 
 
-def _make_stage_kernel(log_l: int, halves: tuple, dif: bool, table: str):
+def _make_stage_kernel(log_l: int, halves: tuple, dif: bool, table: str,
+                       lanes: int = LANE_CHUNK):
     """Kernel over state [16, L, 128]: a GROUP of radix-2 stages along
     axis 1 (`halves` = the half-width of each stage in order). One
     fully-unrolled 10-stage kernel blew Mosaic's scoped-VMEM accounting
@@ -148,9 +149,9 @@ def _make_stage_kernel(log_l: int, halves: tuple, dif: bool, table: str):
 
         for h in halves:
             m = 2 * h
-            # [L, 128] -> [L/m, m, 128]; split top/bottom halves
-            u = [x.reshape(L // m, m, LANE_CHUNK)[:, :h] for x in a]
-            v = [x.reshape(L // m, m, LANE_CHUNK)[:, h:] for x in a]
+            # [L, lanes] -> [L/m, m, lanes]; split top/bottom halves
+            u = [x.reshape(L // m, m, lanes)[:, :h] for x in a]
+            v = [x.reshape(L // m, m, lanes)[:, h:] for x in a]
             tw = lambda i: twv[i, h : 2 * h][None, :, None]
             if dif:
                 top = _add_mod(u, v)
@@ -160,7 +161,7 @@ def _make_stage_kernel(log_l: int, halves: tuple, dif: bool, table: str):
                 top = _add_mod(u, t)
                 bot = _sub_mod(u, t)
             a = [
-                jnp.concatenate([tp, bt], axis=1).reshape(L, LANE_CHUNK)
+                jnp.concatenate([tp, bt], axis=1).reshape(L, lanes)
                 for tp, bt in zip(top, bot)
             ]
         if table == "post":
@@ -182,8 +183,13 @@ STAGES_PER_CALL = 1
 def _stage_call(state, tw, tbl, log_l, halves, dif, table):
     L = 1 << log_l
     C = state.shape[2]
+    # lanes: 128 for the full-width single-chip transform; smaller
+    # power-of-two widths appear for the LOCAL blocks of the sharded
+    # four-step (C/D lanes per device) — Mosaic pads narrow lanes on
+    # TPU, and the CPU interpret path doesn't care
+    lanes = min(LANE_CHUNK, C)
     spec = pl.BlockSpec(
-        (N_LIMBS, L, LANE_CHUNK), lambda i: (0, 0, i),
+        (N_LIMBS, L, lanes), lambda i: (0, 0, i),
         memory_space=pltpu.VMEM,
     )
     tw_spec = pl.BlockSpec(
@@ -192,9 +198,9 @@ def _stage_call(state, tw, tbl, log_l, halves, dif, table):
     in_specs = [spec, tw_spec] + ([spec] if table != "none" else [])
     args = (state, tw) + ((tbl,) if table != "none" else ())
     return pl.pallas_call(
-        _make_stage_kernel(log_l, halves, dif, table),
+        _make_stage_kernel(log_l, halves, dif, table, lanes),
         out_shape=jax.ShapeDtypeStruct(state.shape, jnp.uint32),
-        grid=(C // LANE_CHUNK,),
+        grid=(C // lanes,),
         in_specs=in_specs,
         out_specs=spec,
         compiler_params=pltpu.CompilerParams(
@@ -204,11 +210,57 @@ def _stage_call(state, tw, tbl, log_l, halves, dif, table):
     )(*args)
 
 
+def _stages_ref(state, tw, tbl, log_l, dif, table):
+    """XLA reference of the stage chain — the same butterflies/tables
+    as the kernel, expressed through fr_ops (whose compact fori_loop
+    CIOS keeps XLA:CPU compiles tractable; the fully-unrolled interpret
+    kernel costs ~40s compile per 3 stages). Bit-identical to the
+    pallas path: all reductions land canonical (< p)."""
+    from ..fr_limbs import fr_ops
+
+    L = 1 << log_l
+    C = state.shape[2]
+    x = jnp.transpose(state, (1, 2, 0))  # [L, C, 16]
+    tw_aos = jnp.transpose(tw)  # [L, 16]
+    tbl_aos = (
+        jnp.transpose(tbl.reshape(N_LIMBS, L, C), (1, 2, 0))
+        if table != "none"
+        else None
+    )
+    if table == "pre":
+        x = fr_ops.mont_mul(x, tbl_aos)
+    halves = (
+        [1 << (k - 1) for k in range(log_l, 0, -1)]
+        if dif
+        else [1 << k for k in range(log_l)]
+    )
+    for h in halves:
+        m = 2 * h
+        xb = x.reshape(L // m, m, C, N_LIMBS)
+        u, v = xb[:, :h], xb[:, h:]
+        w = tw_aos[h : 2 * h][None, :, None, :]
+        if dif:
+            top = fr_ops.add(u, v)
+            bot = fr_ops.mont_mul(fr_ops.sub(u, v), w)
+        else:
+            t = fr_ops.mont_mul(v, w)
+            top = fr_ops.add(u, t)
+            bot = fr_ops.sub(u, t)
+        x = jnp.concatenate([top, bot], axis=1).reshape(L, C, N_LIMBS)
+    if table == "post":
+        x = fr_ops.mont_mul(x, tbl_aos)
+    return jnp.transpose(x, (2, 0, 1))
+
+
 @partial(jax.jit, static_argnames=("log_l", "dif", "table"))
 def _stages(state, tw, tbl, log_l, dif, table):
     """state [16, L, C]; optional pre/post table same shape; grid over
     C lane chunks. Stages run in groups of STAGES_PER_CALL pallas
-    calls (see _make_stage_kernel)."""
+    calls (see _make_stage_kernel). Off-TPU the chain runs through the
+    _stages_ref XLA twin instead of interpret mode (same math, compact
+    field kernels — interpret compiles were the r5 dryrun wall)."""
+    if jax.default_backend() == "cpu":
+        return _stages_ref(state, tw, tbl, log_l, dif, table)
     all_halves = (
         [1 << (k - 1) for k in range(log_l, 0, -1)]
         if dif

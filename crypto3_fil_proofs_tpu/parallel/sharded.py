@@ -15,8 +15,6 @@ gather moves [W, B, 3, limbs] uint32 per device over ICI; at c=16 and
 """
 from __future__ import annotations
 
-from functools import lru_cache
-
 _NTT_SHARDED_CACHE: dict = {}
 _SHARDED_FN_CACHE: dict = {}
 
@@ -122,91 +120,76 @@ def msm_sharded(points, scalars, mesh: Mesh, n_buckets: int = 1 << 16,
     )
 
 
-@lru_cache(maxsize=None)
-def _four_step_twiddles(log_n: int, inverse: bool) -> np.ndarray:
-    """[n1, n2, limbs] Montgomery table w^(k1*i2) for the four-step NTT
-    (w = 2^log_n-th root of unity, inverted for the inverse transform)."""
-    from ..ops import ntt as ntt_mod
-    from ..ops.bls12_381 import R
-    from ..ops.fr_limbs import FR
-
-    log_n1 = (log_n + 1) // 2
-    n1, n2 = 1 << log_n1, 1 << (log_n - log_n1)
-    omega = ntt_mod._root_of_unity(log_n)
-    if inverse:
-        omega = pow(omega, R - 2, R)
-    base = [1] * n2  # omega^i2, plain form
-    for i in range(1, n2):
-        base[i] = base[i - 1] * omega % R
-    mont = FR.mont_r % R
-    cur = [mont] * n2  # row k1 in Montgomery form
-    rows = np.empty((n1, n2, FR.n), dtype=np.uint32)
-    for k1 in range(n1):
-        rows[k1] = FR.to_limbs(cur)
-        if k1 + 1 < n1:
-            cur = [c * b % R for c, b in zip(cur, base)]
-    return rows
-
-
 def ntt_sharded(a, log_n: int, mesh: Mesh, inverse: bool = False):
-    """Multi-chip NTT via the four-step (transpose) algorithm — the
-    TPU-native butterfly exchange (SURVEY §2.9 P6): view the length-n
-    vector as an [n1, n2] matrix; each device runs length-n1 NTTs over
-    its column shard, scales by w^(k1*i2), transposes shards with ONE
-    tiled all_to_all over ICI, then runs length-n2 NTTs locally. Result
-    is bit-identical to the single-chip ops/ntt transform.
+    """Multi-chip NTT: the Pallas four-step transform with its tile
+    transpose replaced by ONE tiled all_to_all over ICI (SURVEY §2.9
+    P6). This is the SAME kernel the single-chip prover ships
+    (ops/pallas/ntt.py `_stages` — the four-step split IS the
+    multi-chip decomposition): view [n] as [R, C]; each device runs the
+    DIF stage chain along R over its C-shard (post-multiplied by its
+    shard of the bitrev-baked inter-step table), exchanges shards, then
+    runs the stage chain along C over its R-shard. The P-order result
+    is unpermuted to natural order, bit-identical to ops/ntt (the XLA
+    radix-2 chain stays as the parity oracle in tests).
+
+    The inverse transform reuses the identical structure with inverse
+    twiddles (INTT(e) = (1/n)*NTT_{w^-1}(e); 1/n rides in the t1i
+    table), so forward and inverse share one compiled program shape.
 
     a: [n, limbs] Montgomery-form coefficients (natural order).
     """
-    import jax.numpy as _jnp
-
-    from ..ops import ntt as ntt_mod
-    from ..ops.fr_limbs import FR, fr_ops
+    from ..ops.fr_limbs import FR
+    from ..ops.pallas import ntt as pntt
 
     axis = mesh.axis_names[0]
     D = mesh.devices.size
-    log_n1 = (log_n + 1) // 2
-    log_n2 = log_n - log_n1
-    n1, n2 = 1 << log_n1, 1 << log_n2
-    assert n1 % D == 0 and n2 % D == 0, "mesh must divide both factors"
-    plan1 = ntt_mod.NttPlan(log_n1)
-    plan2 = ntt_mod.NttPlan(log_n2)
-    tw1 = _jnp.asarray(plan1.tw_inv if inverse else plan1.tw_fwd)
-    tw2 = _jnp.asarray(plan2.tw_inv if inverse else plan2.tw_fwd)
-    step2 = _jnp.asarray(_four_step_twiddles(log_n, inverse))
-
-    def local(block, tw_loc, tw1_arr, tw2_arr):
-        # block [n1, n2/D, limbs]: length-n1 NTTs down each local column
-        x = block.transpose(1, 0, 2)
-        x = ntt_mod._transform(x, plan1, tw1_arr)
-        x = x.transpose(1, 0, 2)          # B[k1, i2_local]
-        x = fr_ops.mont_mul(x, tw_loc)    # * w^(k1*i2)
-        # shard transpose: i2-sharded -> k1-sharded (the ICI exchange)
-        x = jax.lax.all_to_all(x, axis, split_axis=0, concat_axis=1, tiled=True)
-        return ntt_mod._transform(x, plan2, tw2_arr)  # rows over i2
+    plan = pntt._plan(log_n)
+    logR, logC = plan["logR"], plan["logC"]
+    R_, C_ = 1 << logR, 1 << logC
+    assert R_ % D == 0 and C_ % D == 0, "mesh must divide both factors"
 
     key = (log_n, inverse, mesh)
     fn = _NTT_SHARDED_CACHE.get(key)
     if fn is None:
-        fn = jax.jit(
-            shard_map(
+        def local(x, t1_loc, twR, twC):
+            # x [16, R, C/D]: stage chain along R (lanes = local C),
+            # inter-step twiddle folded into the last stage call
+            x = pntt._stages(x, twR, t1_loc, logR, dif=True, table="post")
+            # shard transpose: C-sharded -> R-sharded (the ICI exchange)
+            x = jax.lax.all_to_all(
+                x, axis, split_axis=1, concat_axis=2, tiled=True
+            )  # [16, R/D, C]
+            x = x.transpose(0, 2, 1)  # [16, C, R/D]
+            return pntt._stages(x, twC, None, logC, dif=True, table="none")
+
+        def full(a_aos, t1, twR, twC, pinv):
+            x = jnp.transpose(a_aos).reshape(pntt.N_LIMBS, R_, C_)
+            y = shard_map(
                 local,
                 mesh=mesh,
-                in_specs=(P(None, axis, None), P(None, axis, None),
+                in_specs=(P(None, None, axis), P(None, None, axis),
                           P(None, None), P(None, None)),
-                out_specs=P(axis, None, None),
+                out_specs=P(None, None, axis),
                 check_vma=False,
-            )
-        )
+            )(x, t1, twR, twC)
+            # [16, C, R] flat is P order; unpermute -> natural
+            out = y.reshape(pntt.N_LIMBS, R_ * C_)[:, pinv]
+            return jnp.transpose(out)
+
+        fn = jax.jit(full)
         _NTT_SHARDED_CACHE[key] = fn
-    y = fn(a.reshape(n1, n2, FR.n), step2, tw1, tw2)
-    # X[k1 + n1*k2] = Y[k1, k2] -> natural order
-    out = y.transpose(1, 0, 2).reshape(1 << log_n, FR.n)
+
     if inverse:
-        out = fr_ops.mont_mul(
-            out, _jnp.asarray(ntt_mod.NttPlan(log_n).n_inv_mont)
-        )
-    return out
+        t1, twR, twC = plan["t1i"], plan["tw_R_inv"], plan["tw_C_inv"]
+    else:
+        t1, twR, twC = plan["t1"], plan["tw_R_fwd"], plan["tw_C_fwd"]
+    return fn(
+        a,
+        jnp.asarray(t1),
+        jnp.asarray(twR),
+        jnp.asarray(twC),
+        jnp.asarray(plan["Pinv"]),
+    )
 
 
 def build_tree_sharded(leaves, arity: int, mesh: Mesh):

@@ -227,6 +227,64 @@ def _fixed_base_g1_run(limbs, tx, ty):
     return jax.lax.fori_loop(0, 64, body, acc)
 
 
+def batch_fixed_base_g1_staged(scalars: list[int]) -> tuple:
+    """[s_i * G] staged directly in the ProvingKey query layout
+    (px [N,24], py [N,24], valid [N]) — Jacobian results are normalized
+    ON DEVICE (g1_jax.normalize_batch: batch-inverse scans + one host
+    inversion per chunk), so CRS generation never walks points through
+    host bigints. Bit-identical to _stage_g1(batch_fixed_base_g1(...));
+    at the 11M-point scale of a mid-size window-PoSt query the host
+    normalization loop alone cost minutes (VERDICT r5 item 1)."""
+    n_real = len(scalars)
+    if n_real <= HOST_FALLBACK_N:
+        return _stage_g1(batch_fixed_base_g1(scalars))
+    table = _window_table(g1_from_affine(G1_GEN), g1_add, G1_INF)
+    tx, ty, _ = g1_jax.points_to_device(table)
+    tx = tx.reshape(64, 16, -1)
+    ty = ty.reshape(64, 16, -1)
+    all_limbs = FR.to_limbs([s % R for s in scalars])
+    xs, ys, vs = [], [], []
+    for limbs in _fixed_base_chunks(all_limbs):
+        X, Y, Z = _fixed_base_g1_run(jnp.asarray(limbs), tx, ty)
+        x, y, v = g1_jax.normalize_batch(X, Y, Z)
+        xs.append(np.asarray(x))
+        ys.append(np.asarray(y))
+        vs.append(np.asarray(v))
+    return (
+        np.concatenate(xs)[:n_real],
+        np.concatenate(ys)[:n_real],
+        np.concatenate(vs)[:n_real],
+    )
+
+
+def batch_fixed_base_g2_staged(scalars: list[int]) -> tuple:
+    """G2 twin of batch_fixed_base_g1_staged (Fq2 normalization via the
+    conjugate/norm identity, g2_jax.normalize_batch)."""
+    n_real = len(scalars)
+    if n_real <= HOST_FALLBACK_N:
+        return _stage_g2(batch_fixed_base_g2(scalars))
+    from ..ops.bls12_381 import G2_INF
+
+    table = _window_table(g2_from_affine((G2_GEN_X, G2_GEN_Y)), g2_add, G2_INF)
+    aff, _ = g2_jax.points_to_device(table)
+    aff = jax.tree_util.tree_map(lambda t: t.reshape(64, 16, -1), aff)
+    all_limbs = FR.to_limbs([s % R for s in scalars])
+    x0s, x1s, y0s, y1s, vs = [], [], [], [], []
+    for limbs in _fixed_base_chunks(all_limbs, FIXED_BASE_CHUNK // 2):
+        X, Y, Z = _fixed_base_g2_run(jnp.asarray(limbs), aff)
+        (x, y), v = g2_jax.normalize_batch(X, Y, Z)
+        x0s.append(np.asarray(x[0]))
+        x1s.append(np.asarray(x[1]))
+        y0s.append(np.asarray(y[0]))
+        y1s.append(np.asarray(y[1]))
+        vs.append(np.asarray(v))
+    cat = lambda parts: np.concatenate(parts)[:n_real]
+    return (
+        ((cat(x0s), cat(x1s)), (cat(y0s), cat(y1s))),
+        cat(vs),
+    )
+
+
 def batch_fixed_base_g2(scalars: list[int]) -> list:
     """[s_i * G2] for many scalars, device bit-sliced accumulation."""
     n_real = len(scalars)
@@ -464,17 +522,19 @@ def setup(cs: ConstraintSystem, seed: bytes = b"fil-tpu-setup") -> ProvingKey:
         h_scalars.append(cur)
         cur = cur * tau % R
 
-    # device fixed-base batches
-    a_pts = batch_fixed_base_g1(u)
+    # device fixed-base batches, staged straight into the query layout
+    # (device normalization — the host per-point conversion was the CRS
+    # wall at >4M constraints)
+    a_query = batch_fixed_base_g1_staged(u)
     _progress("a_query done")
-    b_g1_pts = batch_fixed_base_g1(v)
+    b_g1_query = batch_fixed_base_g1_staged(v)
     _progress("b_g1_query done")
     ic_pts = batch_fixed_base_g1(ic_scalars)
-    l_pts = batch_fixed_base_g1(l_scalars)
+    l_query = batch_fixed_base_g1_staged(l_scalars)
     _progress("ic+l queries done")
-    h_pts = batch_fixed_base_g1(h_scalars)
+    h_query = batch_fixed_base_g1_staged(h_scalars)
     _progress("h_query done")
-    b_g2_pts = batch_fixed_base_g2(v)
+    b_g2_query = batch_fixed_base_g2_staged(v)
     _progress("b_g2_query done")
     g2_gen = g2_from_affine((G2_GEN_X, G2_GEN_Y))
 
@@ -490,11 +550,11 @@ def setup(cs: ConstraintSystem, seed: bytes = b"fil-tpu-setup") -> ProvingKey:
         vk=vk,
         beta_g1=g1_mul(g1, beta),
         delta_g1=g1_mul(g1, delta),
-        a_query=_stage_g1(a_pts),
-        b_g1_query=_stage_g1(b_g1_pts),
-        b_g2_query=_stage_g2(b_g2_pts),
-        h_query=_stage_g1(h_pts),
-        l_query=_stage_g1(l_pts),
+        a_query=a_query,
+        b_g1_query=b_g1_query,
+        b_g2_query=b_g2_query,
+        h_query=h_query,
+        l_query=l_query,
         log_n=log_n,
     )
 

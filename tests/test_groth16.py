@@ -121,3 +121,50 @@ def test_prove_many_partition_parallel_matches_serial(cubic_keypair):
     for k, (cs, proof) in enumerate(zip(cs_list, parallel)):
         out_public = cs.values[cs.is_input.index(True, 1)]
         assert groth16.verify(pk.vk, proof, [out_public])
+
+
+def test_device_normalize_batch_matches_host_staging(rng_seed):
+    """g1/g2_jax.normalize_batch (device batch-inverse scans, the CRS
+    staging path) is bit-identical to host points_to_device staging of
+    the same Jacobian points, including infinity lanes."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from crypto3_fil_proofs_tpu.ops import g1_jax, g2_jax
+    from crypto3_fil_proofs_tpu.ops.bls12_381 import (
+        G1_GEN,
+        G2_GEN_X,
+        G2_GEN_Y,
+        g1_from_affine,
+        g1_mul,
+        g2_from_affine,
+        g2_mul,
+    )
+
+    rng = random.Random(rng_seed)
+    g1 = g1_from_affine(G1_GEN)
+    pts = [g1_mul(g1, rng.randrange(1, R)) for _ in range(6)]
+    pts.insert(2, (1, 1, 0))  # infinity lane
+    X = jnp.stack([groth16.fq_ops.encode([p[0]])[0] for p in pts])
+    Y = jnp.stack([groth16.fq_ops.encode([p[1]])[0] for p in pts])
+    Z = jnp.stack([groth16.fq_ops.encode([p[2]])[0] for p in pts])
+    x, y, v = g1_jax.normalize_batch(X, Y, Z)
+    hx, hy, hv = g1_jax.points_to_device(pts)
+    assert np.array_equal(np.asarray(x), np.asarray(hx))
+    assert np.array_equal(np.asarray(y), np.asarray(hy))
+    assert np.array_equal(np.asarray(v), np.asarray(hv))
+
+    g2 = g2_from_affine((G2_GEN_X, G2_GEN_Y))
+    pts2 = [g2_mul(g2, rng.randrange(1, R)) for _ in range(4)]
+    pts2.insert(1, (((1, 0)), ((1, 0)), ((0, 0))))  # infinity
+    enc = lambda vals: jnp.stack(
+        [groth16.fq_ops.encode([val])[0] for val in vals]
+    )
+    X2 = (enc([p[0][0] for p in pts2]), enc([p[0][1] for p in pts2]))
+    Y2 = (enc([p[1][0] for p in pts2]), enc([p[1][1] for p in pts2]))
+    Z2 = (enc([p[2][0] for p in pts2]), enc([p[2][1] for p in pts2]))
+    (ax, ay), av = g2_jax.normalize_batch(X2, Y2, Z2)
+    haff, hv2 = g2_jax.points_to_device(pts2)
+    for got, want in zip((*ax, *ay), (*haff[0], *haff[1])):
+        assert np.array_equal(np.asarray(got), np.asarray(want))
+    assert np.array_equal(np.asarray(av), np.asarray(hv2))

@@ -142,15 +142,18 @@ def test_tiled_por_matches_scalar(rng_seed):
 
 def test_jax_witness_matches_numpy_replay(rng_seed):
     rng = random.Random(rng_seed)
-    for arity in (2, 8):
-        K = 5
+    for arity, K in ((2, 5), (8, 5), (2, 70)):
+        # K=70 crosses the production dispatch threshold (>=64 -> jax);
+        # compare the oracle directly so the check never goes vacuous
         pre = fv.to_v(
             [rng.randrange(R) for _ in range(K * arity)]
         ).reshape(K, arity, 16)
-        want = tiled.poseidon_witness_v(pre, arity)
+        want = tiled._poseidon_witness_numpy(pre, arity)
         got = tiled.poseidon_witness_jax(pre, arity)
         assert got.shape == want.shape
         assert (got == want).all()
+        via_dispatch = tiled.poseidon_witness_v(pre, arity)
+        assert (via_dispatch == want).all()
 
 
 def test_blank_tiled_partition_counts_match_scalar_sector():

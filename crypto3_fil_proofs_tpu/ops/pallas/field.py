@@ -168,6 +168,91 @@ def _sub_tiles(a, b, p_limbs, n):
     return jnp.where(neg, d_plus_p, d)
 
 
+# -- list-based (fully unrolled) field helpers ------------------------------
+#
+# The point kernels' montmuls are CHAINED (serial data dependency), so
+# the fori_loop CIOS with its VMEM-scratch dynamic slices and
+# concatenate-shifts leaves the VPU mostly idle: the measured mixed-add
+# rate was 29.5M/s vs 52.7M/s for the same formulas with limb state as
+# python LISTS (shifts become trace-time renames, multiplier limbs are
+# values — scripts/probe_madd.py r5 sweep). The list form is what the
+# NTT kernel already uses for Fr; these are the field-generic twins.
+# Mosaic can't afford them in interpret mode (XLA:CPU compile of the
+# unrolled chain is minutes), so the point kernels keep the fori/scratch
+# versions as their CPU twin.
+
+
+def l_read(ref, n):
+    return [ref[j] for j in range(n)]
+
+
+def l_sub_if_ge(t, p_limbs, n):
+    mask = LIMB_MASK
+    borrow = jnp.zeros_like(t[0])
+    diff = []
+    for j in range(n):
+        s = jnp.uint32(p_limbs[j]) + borrow
+        d = t[j] - s
+        borrow = (t[j] < s).astype(jnp.uint32)
+        diff.append(d & mask)
+    ge = borrow == 0
+    return [jnp.where(ge, diff[j], t[j]) for j in range(n)]
+
+
+def l_add(a, b, p_limbs, n):
+    mask = LIMB_MASK
+    limbs, carry = [], jnp.zeros_like(a[0])
+    for j in range(n):
+        v = a[j] + b[j] + carry
+        limbs.append(v & mask)
+        carry = v >> LIMB_BITS
+    return l_sub_if_ge(limbs, p_limbs, n)
+
+
+def l_sub(a, b, p_limbs, n):
+    mask = LIMB_MASK
+    diff = []
+    borrow = jnp.zeros_like(a[0])
+    for j in range(n):
+        s = b[j] + borrow
+        d = a[j] - s
+        borrow = (a[j] < s).astype(jnp.uint32)
+        diff.append(d & mask)
+    neg = borrow != 0
+    out = []
+    carry = jnp.zeros_like(a[0])
+    for j in range(n):
+        v = diff[j] + jnp.uint32(p_limbs[j]) + carry
+        out.append(v & mask)
+        carry = v >> LIMB_BITS
+    return [jnp.where(neg, o, d) for o, d in zip(out, diff)]
+
+
+def l_montmul(a, b, n, n0inv, p_limbs):
+    """Unrolled CIOS on limb-row lists (same deferred-carry bound as
+    _montmul_tiles — bit-identical on canonical inputs)."""
+    mask = LIMB_MASK
+    t = [jnp.zeros_like(a[0]) for _ in range(n + 1)]
+    for i in range(n):
+        bi = b[i]
+        t0 = t[0] + ((a[0] * bi) & mask)
+        m = (t0 * jnp.uint32(n0inv)) & mask
+        for j in range(n):
+            prod = a[j] * bi
+            q = m * jnp.uint32(p_limbs[j])
+            t[j] = t[j] + ((prod & mask) + (q & mask))
+            t[j + 1] = t[j + 1] + ((prod >> LIMB_BITS) + (q >> LIMB_BITS))
+        carry = t[0] >> LIMB_BITS
+        t = t[1:] + [jnp.zeros_like(t[0])]
+        t[0] = t[0] + carry
+    limbs, carry = [], jnp.zeros_like(t[0])
+    for j in range(n):
+        v = t[j] + carry
+        limbs.append(v & mask)
+        carry = v >> LIMB_BITS
+    return l_sub_if_ge(limbs, p_limbs, n)
+
+
 # -- layout helpers ---------------------------------------------------------
 
 

@@ -29,6 +29,10 @@ from .field import (
     _field_consts,
     _montmul_tiles,
     _sub_tiles,
+    l_add,
+    l_montmul,
+    l_read,
+    l_sub,
 )
 
 N_LIMBS, N0INV, P_LIMBS = _field_consts(FQ)
@@ -263,6 +267,215 @@ def _dbl_kernel(x_ref, y_ref, z_ref, mask_ref, ox_ref, oy_ref, oz_ref,
     oz_ref[:] = _sel(m, dZ, Z)
 
 
+# -- unrolled (list-based) kernel twins -------------------------------------
+#
+# The chained montmuls leave the fori/scratch CIOS VPU-starved: measured
+# 29.5M mixed adds/s vs 52.7M for the same formulas unrolled with limb
+# lists (scripts/probe_madd.py). TPU runs these; the CPU interpret path
+# keeps the fori/scratch kernels above (the unrolled chain costs minutes
+# of XLA:CPU compile). Bit-identical on canonical inputs.
+
+
+def _u_mul(a, b):
+    return l_montmul(a, b, N_LIMBS, N0INV, P_LIMBS)
+
+
+def _u_add(a, b):
+    return l_add(a, b, P_LIMBS, N_LIMBS)
+
+
+def _u_sub(a, b):
+    return l_sub(a, b, P_LIMBS, N_LIMBS)
+
+
+def _u_dbl(a):
+    return l_add(a, a, P_LIMBS, N_LIMBS)
+
+
+def _u_is_zero(x):
+    acc = x[0]
+    for j in range(1, N_LIMBS):
+        acc = acc | x[j]
+    return acc == 0
+
+
+def _u_sel(cond, a, b):
+    return [jnp.where(cond, x, y) for x, y in zip(a, b)]
+
+
+def _u_one_zero(like):
+    one = [jnp.full_like(like, jnp.uint32(v)) for v in _ONE_MONT]
+    zero = [jnp.zeros_like(like) for _ in range(N_LIMBS)]
+    return one, zero
+
+
+def _u_double(X1, Y1, Z1):
+    A = _u_mul(X1, X1)
+    B = _u_mul(Y1, Y1)
+    C = _u_mul(B, B)
+    xb = _u_add(X1, B)
+    t = _u_sub(_u_sub(_u_mul(xb, xb), A), C)
+    D = _u_dbl(t)
+    E = _u_add(_u_dbl(A), A)
+    F = _u_mul(E, E)
+    X3 = _u_sub(F, _u_dbl(D))
+    eight_c = _u_dbl(_u_dbl(_u_dbl(C)))
+    Y3 = _u_sub(_u_mul(E, _u_sub(D, X3)), eight_c)
+    Z3 = _u_dbl(_u_mul(Y1, Z1))
+    return X3, Y3, Z3
+
+
+def _madd_kernel_u(x1_ref, y1_ref, z1_ref, x2_ref, y2_ref, valid_ref,
+                   ox_ref, oy_ref, oz_ref):
+    X1, Y1, Z1 = (l_read(r, N_LIMBS) for r in (x1_ref, y1_ref, z1_ref))
+    x2, y2 = l_read(x2_ref, N_LIMBS), l_read(y2_ref, N_LIMBS)
+    valid = valid_ref[:] != 0
+
+    Z1Z1 = _u_mul(Z1, Z1)
+    U2 = _u_mul(x2, Z1Z1)
+    S2 = _u_mul(_u_mul(y2, Z1), Z1Z1)
+    H = _u_sub(U2, X1)
+    HH = _u_mul(H, H)
+    I = _u_dbl(_u_dbl(HH))
+    J = _u_mul(H, I)
+    r = _u_dbl(_u_sub(S2, Y1))
+    V = _u_mul(X1, I)
+    X3 = _u_sub(_u_sub(_u_mul(r, r), J), _u_dbl(V))
+    Y3 = _u_sub(_u_mul(r, _u_sub(V, X3)), _u_dbl(_u_mul(Y1, J)))
+    zh = _u_add(Z1, H)
+    Z3 = _u_sub(_u_sub(_u_mul(zh, zh), Z1Z1), HH)
+
+    h_zero = _u_is_zero(H)
+    r_zero = _u_is_zero(r)
+    inf1 = _u_is_zero(Z1)
+    dX, dY, dZ = _u_double(X1, Y1, Z1)
+
+    same = h_zero & r_zero & ~inf1
+    neg = h_zero & ~r_zero & ~inf1
+
+    one, zero = _u_one_zero(X1[0])
+    X = _u_sel(same, dX, X3)
+    Y = _u_sel(same, dY, Y3)
+    Z = _u_sel(same, dZ, Z3)
+    Z = _u_sel(neg, zero, Z)
+    X = _u_sel(inf1, x2, X)
+    Y = _u_sel(inf1, y2, Y)
+    Z = _u_sel(inf1, one, Z)
+    X = _u_sel(valid, X, X1)
+    Y = _u_sel(valid, Y, Y1)
+    Z = _u_sel(valid, Z, Z1)
+    for j in range(N_LIMBS):
+        ox_ref[j] = X[j]
+        oy_ref[j] = Y[j]
+        oz_ref[j] = Z[j]
+
+
+def _add_kernel_u(x1_ref, y1_ref, z1_ref, x2_ref, y2_ref, z2_ref,
+                  ox_ref, oy_ref, oz_ref):
+    X1, Y1, Z1 = (l_read(r, N_LIMBS) for r in (x1_ref, y1_ref, z1_ref))
+    X2, Y2, Z2 = (l_read(r, N_LIMBS) for r in (x2_ref, y2_ref, z2_ref))
+
+    Z1Z1 = _u_mul(Z1, Z1)
+    Z2Z2 = _u_mul(Z2, Z2)
+    U1 = _u_mul(X1, Z2Z2)
+    U2 = _u_mul(X2, Z1Z1)
+    S1 = _u_mul(_u_mul(Y1, Z2), Z2Z2)
+    S2 = _u_mul(_u_mul(Y2, Z1), Z1Z1)
+    H = _u_sub(U2, U1)
+    r = _u_dbl(_u_sub(S2, S1))
+    dh = _u_dbl(H)
+    I = _u_mul(dh, dh)
+    J = _u_mul(H, I)
+    V = _u_mul(U1, I)
+    X3 = _u_sub(_u_sub(_u_mul(r, r), J), _u_dbl(V))
+    Y3 = _u_sub(_u_mul(r, _u_sub(V, X3)), _u_dbl(_u_mul(S1, J)))
+    zz = _u_add(Z1, Z2)
+    Z3 = _u_mul(H, _u_sub(_u_sub(_u_mul(zz, zz), Z1Z1), Z2Z2))
+
+    h_zero = _u_is_zero(H)
+    r_zero = _u_is_zero(r)
+    inf1 = _u_is_zero(Z1)
+    inf2 = _u_is_zero(Z2)
+    dX, dY, dZ = _u_double(X1, Y1, Z1)
+
+    same = h_zero & r_zero & ~inf1 & ~inf2
+    neg = h_zero & ~r_zero & ~inf1 & ~inf2
+
+    _, zero = _u_one_zero(X1[0])
+    X = _u_sel(same, dX, X3)
+    Y = _u_sel(same, dY, Y3)
+    Z = _u_sel(same, dZ, Z3)
+    Z = _u_sel(neg, zero, Z)
+    X = _u_sel(inf1, X2, _u_sel(inf2, X1, X))
+    Y = _u_sel(inf1, Y2, _u_sel(inf2, Y1, Y))
+    Z = _u_sel(inf1, Z2, _u_sel(inf2, Z1, Z))
+    for j in range(N_LIMBS):
+        ox_ref[j] = X[j]
+        oy_ref[j] = Y[j]
+        oz_ref[j] = Z[j]
+
+
+def _madd_nodbl_kernel_u(x1_ref, y1_ref, z1_ref, x2_ref, y2_ref, valid_ref,
+                         ox_ref, oy_ref, oz_ref, same_ref):
+    X1, Y1, Z1 = (l_read(r, N_LIMBS) for r in (x1_ref, y1_ref, z1_ref))
+    x2, y2 = l_read(x2_ref, N_LIMBS), l_read(y2_ref, N_LIMBS)
+    valid = valid_ref[:] != 0
+
+    Z1Z1 = _u_mul(Z1, Z1)
+    U2 = _u_mul(x2, Z1Z1)
+    S2 = _u_mul(_u_mul(y2, Z1), Z1Z1)
+    H = _u_sub(U2, X1)
+    HH = _u_mul(H, H)
+    I = _u_dbl(_u_dbl(HH))
+    J = _u_mul(H, I)
+    r = _u_dbl(_u_sub(S2, Y1))
+    V = _u_mul(X1, I)
+    X3 = _u_sub(_u_sub(_u_mul(r, r), J), _u_dbl(V))
+    Y3 = _u_sub(_u_mul(r, _u_sub(V, X3)), _u_dbl(_u_mul(Y1, J)))
+    zh = _u_add(Z1, H)
+    Z3 = _u_sub(_u_sub(_u_mul(zh, zh), Z1Z1), HH)
+
+    h_zero = _u_is_zero(H)
+    r_zero = _u_is_zero(r)
+    inf1 = _u_is_zero(Z1)
+
+    same = h_zero & r_zero & ~inf1 & valid
+    neg = h_zero & ~r_zero & ~inf1
+
+    one, zero = _u_one_zero(X1[0])
+    X, Y, Z = X3, Y3, Z3
+    Z = _u_sel(neg, zero, Z)
+    X = _u_sel(inf1, x2, X)
+    Y = _u_sel(inf1, y2, Y)
+    Z = _u_sel(inf1, one, Z)
+    keep = ~valid | same
+    X = _u_sel(keep, X1, X)
+    Y = _u_sel(keep, Y1, Y)
+    Z = _u_sel(keep, Z1, Z)
+    for j in range(N_LIMBS):
+        ox_ref[j] = X[j]
+        oy_ref[j] = Y[j]
+        oz_ref[j] = Z[j]
+    same_ref[:] = same.astype(jnp.uint32)
+
+
+def _dbl_kernel_u(x_ref, y_ref, z_ref, mask_ref, ox_ref, oy_ref, oz_ref):
+    X, Y, Z = (l_read(r, N_LIMBS) for r in (x_ref, y_ref, z_ref))
+    m = mask_ref[:] != 0
+    dX, dY, dZ = _u_double(X, Y, Z)
+    oX = _u_sel(m, dX, X)
+    oY = _u_sel(m, dY, Y)
+    oZ = _u_sel(m, dZ, Z)
+    for j in range(N_LIMBS):
+        ox_ref[j] = oX[j]
+        oy_ref[j] = oY[j]
+        oz_ref[j] = oZ[j]
+
+
+def _on_tpu():
+    return jax.default_backend() != "cpu"
+
+
 def _coord_spec():
     return pl.BlockSpec(
         (N_LIMBS, G1_ROWS, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
@@ -291,13 +504,15 @@ def madd_soa(acc, q, valid):
     vmask = valid.astype(jnp.uint32).reshape(N // 128, 128)
     cs, ms = _coord_spec(), _mask_spec()
     out = pl.pallas_call(
-        _madd_kernel,
+        _madd_kernel_u if _on_tpu() else _madd_kernel,
         out_shape=(_shape3(N),) * 3,
         grid=(N // G1_BLOCK,),
         in_specs=[cs, cs, cs, cs, cs, ms],
         out_specs=(cs, cs, cs),
-        scratch_shapes=[pltpu.VMEM((N_LIMBS, G1_ROWS, 128), jnp.uint32)],
-        interpret=jax.default_backend() == "cpu",
+        scratch_shapes=[] if _on_tpu() else [
+            pltpu.VMEM((N_LIMBS, G1_ROWS, 128), jnp.uint32)
+        ],
+        interpret=not _on_tpu(),
     )(r3(X), r3(Y), r3(Z), r3(x2), r3(y2), vmask)
     return tuple(t.reshape(N_LIMBS, N) for t in out)
 
@@ -316,14 +531,16 @@ def madd_nodbl_soa(acc, q, valid):
     vmask = valid.astype(jnp.uint32).reshape(N // 128, 128)
     cs, ms = _coord_spec(), _mask_spec()
     out = pl.pallas_call(
-        _madd_nodbl_kernel,
+        _madd_nodbl_kernel_u if _on_tpu() else _madd_nodbl_kernel,
         out_shape=(_shape3(N),) * 3
         + (jax.ShapeDtypeStruct((N // 128, 128), jnp.uint32),),
         grid=(N // G1_BLOCK,),
         in_specs=[cs, cs, cs, cs, cs, ms],
         out_specs=(cs, cs, cs, ms),
-        scratch_shapes=[pltpu.VMEM((N_LIMBS, G1_ROWS, 128), jnp.uint32)],
-        interpret=jax.default_backend() == "cpu",
+        scratch_shapes=[] if _on_tpu() else [
+            pltpu.VMEM((N_LIMBS, G1_ROWS, 128), jnp.uint32)
+        ],
+        interpret=not _on_tpu(),
     )(r3(X), r3(Y), r3(Z), r3(x2), r3(y2), vmask)
     return tuple(t.reshape(N_LIMBS, N) for t in out[:3]) + (
         out[3].reshape(N),
@@ -340,13 +557,15 @@ def dbl_soa(p, mask):
     mmask = mask.astype(jnp.uint32).reshape(N // 128, 128)
     cs, ms = _coord_spec(), _mask_spec()
     out = pl.pallas_call(
-        _dbl_kernel,
+        _dbl_kernel_u if _on_tpu() else _dbl_kernel,
         out_shape=(_shape3(N),) * 3,
         grid=(N // G1_BLOCK,),
         in_specs=[cs, cs, cs, ms],
         out_specs=(cs, cs, cs),
-        scratch_shapes=[pltpu.VMEM((N_LIMBS, G1_ROWS, 128), jnp.uint32)],
-        interpret=jax.default_backend() == "cpu",
+        scratch_shapes=[] if _on_tpu() else [
+            pltpu.VMEM((N_LIMBS, G1_ROWS, 128), jnp.uint32)
+        ],
+        interpret=not _on_tpu(),
     )(r3(X), r3(Y), r3(Z), mmask)
     return tuple(t.reshape(N_LIMBS, N) for t in out)
 
@@ -359,12 +578,14 @@ def add_soa(p, q):
     r3 = lambda t: t.reshape(N_LIMBS, N // 128, 128)
     cs = _coord_spec()
     out = pl.pallas_call(
-        _add_kernel,
+        _add_kernel_u if _on_tpu() else _add_kernel,
         out_shape=(_shape3(N),) * 3,
         grid=(N // G1_BLOCK,),
         in_specs=[cs] * 6,
         out_specs=(cs, cs, cs),
-        scratch_shapes=[pltpu.VMEM((N_LIMBS, G1_ROWS, 128), jnp.uint32)],
-        interpret=jax.default_backend() == "cpu",
+        scratch_shapes=[] if _on_tpu() else [
+            pltpu.VMEM((N_LIMBS, G1_ROWS, 128), jnp.uint32)
+        ],
+        interpret=not _on_tpu(),
     )(*map(r3, p), *map(r3, q))
     return tuple(t.reshape(N_LIMBS, N) for t in out)

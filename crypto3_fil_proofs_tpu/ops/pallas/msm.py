@@ -225,8 +225,19 @@ def _bucket_accumulate_soa(
     passes, and no replica machinery is needed."""
     W, N = digits.shape
     B = n_buckets
-    order = jnp.argsort(digits, axis=1)
-    sorted_digits = jnp.take_along_axis(digits, order, axis=1)
+    # ONE variadic sort carries the payload with the keys: the old
+    # argsort + take_along_axis(digits) + take_along_axis(neg) chain
+    # paid two extra 268M-element gathers at 2^24 (schedule was 5.7s of
+    # the 27s total). The payload rides the sign in bit 31 (N <= 2^30).
+    iota = jnp.arange(N, dtype=jnp.uint32)
+    if neg is None:
+        payload = jnp.broadcast_to(iota[None, :], (W, N))
+    else:
+        payload = iota[None, :] | (neg << 31)
+    sorted_digits, order_flat = jax.lax.sort(
+        (digits, payload), dimension=1, num_keys=1
+    )
+    order_flat = order_flat.reshape(W * N)
     bucket_ids = jnp.arange(B, dtype=jnp.uint32)
     starts = jax.vmap(
         lambda sd: jnp.searchsorted(sd, bucket_ids, side="left")
@@ -248,14 +259,6 @@ def _bucket_accumulate_soa(
         counts = jnp.where(bucket_ids[None, :] == 0, 0, counts)
 
     WB = W * B
-    if neg is None:
-        order_flat = order.reshape(W * N).astype(jnp.uint32)
-    else:
-        # ride the sign in bit 31 of the order entry (order < N <= 2^30)
-        neg_sorted = jnp.take_along_axis(neg, order, axis=1)
-        order_flat = order.reshape(W * N).astype(jnp.uint32) | (
-            neg_sorted.reshape(W * N) << 31
-        )
     win = jnp.arange(WB, dtype=jnp.int32) // B
     counts_f = counts.reshape(WB)
     base_f = win * N + starts.reshape(WB)  # lane -> its run in order_flat

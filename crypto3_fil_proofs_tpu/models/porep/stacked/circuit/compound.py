@@ -106,7 +106,7 @@ class StackedCompound:
             k=0,
         )
         return circ.circuit_from_vanilla(
-            pub_params, blank_inputs, proofs, _Z32, _Z32
+            pub_params, blank_inputs, proofs, _Z32, _Z32, blank=True
         )
 
     def generate_public_inputs(self, pub_params, pub_inputs, k):

@@ -248,9 +248,35 @@ def circuit_from_vanilla(
     vanilla_proofs: list[Proof],
     comm_c: bytes,
     comm_r_last: bytes,
+    blank: bool = False,
 ) -> ConstraintSystem:
+    """Partition circuit. Default path is the challenge-batched emitter
+    (circuit/batched.py — op-major across the partition's challenges,
+    ~K-fold less python overhead; VERDICT r4 item 6);
+    FIL_PROOFS_SDR_SYNTH=scalar keeps the per-challenge scalar path as
+    the parity oracle (identical constraint content and public inputs,
+    different variable order)."""
+    import os
+
     cs = ConstraintSystem()
-    synthesize(
+    mode = os.environ.get("FIL_PROOFS_SDR_SYNTH", "batched")
+    synth = synthesize
+    if mode != "scalar" and vanilla_proofs:
+        from .batched import synthesize_batched
+
+        synthesize_batched(
+            cs,
+            pub_params,
+            pub_inputs.replica_id,
+            pub_inputs.tau.comm_d,
+            pub_inputs.tau.comm_r,
+            comm_c,
+            comm_r_last,
+            vanilla_proofs,
+            blank=blank,
+        )
+        return cs
+    synth(
         cs,
         pub_params,
         pub_inputs.replica_id,

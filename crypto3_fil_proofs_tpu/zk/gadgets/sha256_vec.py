@@ -544,3 +544,222 @@ def sha256_block_no_padding_vec(
     state = sha256_compress_vec(em, _be_words(bits), state)
     em.flush("sha256_block")
     return _state_bits_be(state)
+
+
+# ---------------------------------------------------------------------------
+# K-instance batched SHA-256 (r5, VERDICT r4 item 6): one emission for K
+# messages of identical length. Words are BitVecs of K*32 lanes
+# (instance-major); xor/and_/maj/ch are lane-generic already, so only
+# the word-boundary helpers (rotr/shr/const/addmany) need group-aware
+# twins. Values ride the BitVec lanes, so the witness for all K
+# instances is computed as a side effect of emission — no separate
+# replay (the fallback-PoSt tiled path needed hand-mirrored replays).
+# ---------------------------------------------------------------------------
+
+_ROLL32_CACHE: dict = {}
+
+
+def _rotr_k(w: BitVec, k: int, K: int) -> BitVec:
+    key = (K, k)
+    idx = _ROLL32_CACHE.get(key)
+    if idx is None:
+        base = (np.arange(32) + k) % 32  # out[i] = in[(i+k) % 32]
+        idx = (np.arange(K)[:, None] * 32 + base[None, :]).ravel()
+        idx.setflags(write=False)
+        _ROLL32_CACHE[key] = idx
+    return w.take(idx)
+
+
+def _shr_k(w: BitVec, k: int, K: int) -> BitVec:
+    var = np.full((K, 32), -1, np.int64)
+    neg = np.zeros((K, 32), bool)
+    val = np.zeros((K, 32), np.uint8)
+    var[:, : 32 - k] = w.var.reshape(K, 32)[:, k:]
+    neg[:, : 32 - k] = w.neg.reshape(K, 32)[:, k:]
+    val[:, : 32 - k] = w.val.reshape(K, 32)[:, k:]
+    return BitVec(var.ravel(), neg.ravel(), val.ravel())
+
+
+def _word_const_k(value: int, K: int) -> BitVec:
+    bits = np.asarray([(value >> i) & 1 for i in range(32)], np.uint8)
+    return BitVec.const(np.tile(bits, K))
+
+
+def _addmany_k(em: ShaEmitter, operands: list[BitVec], K: int) -> BitVec:
+    """K-instance addmany: per instance the SAME constraint content as
+    ShaEmitter.addmany (booleanity'd result bits at the static bound
+    width + one packing row); emitted as K rows in one builder call."""
+    assert len(operands) >= 2
+    pow2_32 = np.int64(1) << np.arange(32, dtype=np.int64)
+    totals = np.zeros(K, np.int64)
+    bounds = np.zeros(K, np.int64)
+    for op in operands:
+        v2 = op.val.reshape(K, 32).astype(np.int64)
+        opv = (v2 * pow2_32[None, :]).sum(axis=1)
+        totals += opv
+        all_const = (op.var.reshape(K, 32) < 0).all(axis=1)
+        bounds += np.where(all_const, opv, np.int64(0xFFFFFFFF))
+    n_bits = max(int(bounds.max()).bit_length(), 32)
+    assert (bounds == bounds[0]).all() or True  # widths pinned by max
+    shifts = np.arange(n_bits, dtype=np.int64)
+    res_vals = ((totals[:, None] >> shifts[None, :]) & 1).astype(np.uint8)
+    res_ids = em.alloc_bits(res_vals.ravel(), booleanity=True)
+    rid2 = res_ids.reshape(K, n_bits)
+
+    cols_parts, coeff_parts, inst_parts = [], [], []
+    for op in operands:
+        isvar = op.var >= 0
+        isneg = isvar & op.neg
+        const_contrib = isneg | (~isvar & (op.val != 0))
+        cidx = np.nonzero(const_contrib)[0]
+        if len(cidx):
+            cols_parts.append(np.zeros(len(cidx), np.int64))
+            coeff_parts.append(pow2_32[cidx % 32])
+            inst_parts.append(cidx // 32)
+        vidx = np.nonzero(isvar)[0]
+        if len(vidx):
+            cols_parts.append(op.var[vidx])
+            sign = np.where(op.neg[vidx], -1, 1).astype(np.int64)
+            coeff_parts.append(pow2_32[vidx % 32] * sign)
+            inst_parts.append(vidx // 32)
+    cols_parts.append(res_ids)
+    coeff_parts.append(np.tile(-(np.int64(1) << shifts), K))
+    inst_parts.append(np.repeat(np.arange(K), n_bits))
+    cols = np.concatenate(cols_parts)
+    coeffs = np.concatenate(coeff_parts)
+    inst = np.concatenate(inst_parts)
+    order = np.argsort(inst, kind="stable")
+    lens = np.bincount(inst, minlength=K).astype(np.int64)
+    ones = _ones(K)
+    em.builder.add_rows(
+        K,
+        lens, cols[order], coeffs[order],
+        ones, np.zeros(K, np.int64), ones,
+        _zeros(K), _EMPTY_I64, _EMPTY_I64,
+    )
+    keep = rid2[:, :32]
+    return BitVec(
+        keep.ravel().copy(),
+        np.zeros(K * 32, bool),
+        ((totals[:, None] >> shifts[None, :32]) & 1)
+        .astype(np.uint8)
+        .ravel(),
+    )
+
+
+def sha256_compress_batch(
+    em: ShaEmitter, block: list[BitVec], state: list[BitVec], K: int
+) -> list[BitVec]:
+    """K-instance compress; mirrors sha256_compress_vec op-for-op."""
+    w = list(block)
+    for i in range(16, 64):
+        s0s = w[i - 15]
+        s0 = em.xor(
+            em.xor(_rotr_k(s0s, 7, K), _rotr_k(s0s, 18, K)),
+            _shr_k(s0s, 3, K),
+        )
+        s1s = w[i - 2]
+        s1 = em.xor(
+            em.xor(_rotr_k(s1s, 17, K), _rotr_k(s1s, 19, K)),
+            _shr_k(s1s, 10, K),
+        )
+        w.append(_addmany_k(em, [w[i - 16], s0, w[i - 7], s1], K))
+
+    a, b, c, d, e, f, g, h = state
+    for i in range(64):
+        big_s1 = em.xor(
+            em.xor(_rotr_k(e, 6, K), _rotr_k(e, 11, K)), _rotr_k(e, 25, K)
+        )
+        ch = em.ch(e, f, g)
+        t1 = _addmany_k(
+            em, [h, big_s1, ch, _word_const_k(ROUND_CONSTANTS[i], K), w[i]],
+            K,
+        )
+        big_s0 = em.xor(
+            em.xor(_rotr_k(a, 2, K), _rotr_k(a, 13, K)), _rotr_k(a, 22, K)
+        )
+        maj = em.maj(a, b, c)
+        t2 = _addmany_k(em, [big_s0, maj], K)
+        h, g, f = g, f, e
+        e = _addmany_k(em, [d, t1], K)
+        d, c, b = c, b, a
+        a = _addmany_k(em, [t1, t2], K)
+
+    return [
+        _addmany_k(em, [s, v], K)
+        for s, v in zip(state, [a, b, c, d, e, f, g, h])
+    ]
+
+
+_BE_IDX_CACHE: dict = {}
+
+
+def _be_word_idx(K: int, L: int, word: int) -> np.ndarray:
+    """Lane indices of word `word` (BE bits -> LE order) for K instances
+    of an L-bit message laid out instance-major."""
+    key = (K, L, word)
+    idx = _BE_IDX_CACHE.get(key)
+    if idx is None:
+        base = word * 32 + np.arange(31, -1, -1)
+        idx = (np.arange(K)[:, None] * L + base[None, :]).ravel()
+        idx.setflags(write=False)
+        _BE_IDX_CACHE[key] = idx
+    return idx
+
+
+def sha256_batch(
+    em: ShaEmitter, msg: BitVec, L: int, K: int
+) -> list[BitVec]:
+    """K-instance SHA-256 of BE-bit messages (length L each, lanes
+    instance-major). Returns the 8 state words as K-batched LE-word
+    BitVecs; same per-instance constraint content as sha256_vec."""
+    assert len(msg.var) == K * L and L % 8 == 0
+    pad_vals = [1]
+    while (L + len(pad_vals) + 64) % 512 != 0:
+        pad_vals.append(0)
+    pad_vals += [(L >> i) & 1 for i in range(63, -1, -1)]
+    P = len(pad_vals)
+    pad = np.asarray(pad_vals, np.uint8)
+    Lp = L + P
+    var = np.concatenate(
+        [msg.var.reshape(K, L), np.full((K, P), -1, np.int64)], axis=1
+    ).ravel()
+    neg = np.concatenate(
+        [msg.neg.reshape(K, L), np.zeros((K, P), bool)], axis=1
+    ).ravel()
+    val = np.concatenate(
+        [msg.val.reshape(K, L), np.tile(pad, (K, 1))], axis=1
+    ).ravel()
+    full = BitVec(var, neg, val)
+    state = [_word_const_k(v, K) for v in IV]
+    n_words = Lp // 32
+    for off in range(0, n_words, 16):
+        block = [
+            full.take(_be_word_idx(K, Lp, off + i)) for i in range(16)
+        ]
+        state = sha256_compress_batch(em, block, state, K)
+    return state
+
+
+def state_bits_le_batch(state: list[BitVec], K: int) -> BitVec:
+    """8 K-batched LE state words -> per-instance 256 bits in the
+    LE-within-byte order (le_bits_to_be of the BE digest bits — what
+    packing/labeling consume). Lanes instance-major [K*256]."""
+    # BE digest bits: per word, bits 31..0; byte-reverse within bytes:
+    # le_bits_to_be groups 8 and reverses -> net order per word:
+    # bytes MSB-first, bits LSB-first within byte
+    per_word = np.concatenate(
+        [np.arange(24, 32), np.arange(16, 24), np.arange(8, 16),
+         np.arange(0, 8)]
+    )
+    var = np.empty((K, 256), np.int64)
+    neg = np.empty((K, 256), bool)
+    val = np.empty((K, 256), np.uint8)
+    for wi, word in enumerate(state):
+        v2 = word.var.reshape(K, 32)
+        n2 = word.neg.reshape(K, 32)
+        a2 = word.val.reshape(K, 32)
+        var[:, wi * 32 : (wi + 1) * 32] = v2[:, per_word]
+        neg[:, wi * 32 : (wi + 1) * 32] = n2[:, per_word]
+        val[:, wi * 32 : (wi + 1) * 32] = a2[:, per_word]
+    return BitVec(var.ravel(), neg.ravel(), val.ravel())

@@ -233,7 +233,7 @@ def poseidon_witness_v(preimages_v: np.ndarray, arity: int) -> np.ndarray:
     import os
 
     backend = os.environ.get("FIL_PROOFS_WITNESS_BACKEND", "auto")
-    if backend != "numpy" and preimages_v.shape[0] >= 64:
+    if backend != "numpy" and preimages_v.shape[0] >= 8:
         return poseidon_witness_jax(preimages_v, arity)
     return _poseidon_witness_numpy(preimages_v, arity)
 
@@ -412,12 +412,15 @@ def por_template(arities: tuple[int, ...], n_packs: int) -> CircuitTemplate:
 def por_witness_v(
     leaf_v: np.ndarray,  # [K, 16] plain limbs
     levels: list[tuple[np.ndarray, np.ndarray]],  # per level: (siblings_v [K, a-1, 16], idx [K] int64)
+    ext_leaf: bool = False,
 ) -> np.ndarray:
     """Vectorized internal-value replay for K PoR instances, in the
     scalar gadget allocation order (por_circuit + insertion + poseidon).
-    Returns [K, n_int, 16] plain limbs."""
+    Returns [K, n_int, 16] plain limbs. ext_leaf=True mirrors the
+    external-leaf template (the leaf var belongs to the caller — e.g. a
+    column-hash digest — so it is not an internal allocation)."""
     K = leaf_v.shape[0]
-    rec: list[np.ndarray] = [leaf_v]  # leaf is the first internal alloc
+    rec: list[np.ndarray] = [] if ext_leaf else [leaf_v]
     cur = leaf_v
     for sib_v, idx in levels:
         arity = sib_v.shape[1] + 1
@@ -467,6 +470,66 @@ def por_witness_v(
             rec.append(np.ascontiguousarray(pos_wit[:, r]))
         cur = pos_wit[:, -1]
     return np.stack(rec, axis=1)
+
+
+_POR_EXT_TEMPLATES: dict[tuple, CircuitTemplate] = {}
+
+
+def por_template_extleaf(arities: tuple[int, ...], n_packs: int) -> CircuitTemplate:
+    """PoR template whose LEAF is an external variable (the SDR column
+    PoRs prove inclusion of an already-allocated column-hash digest —
+    stacked/circuit/proof._column_por). ext = [root, leaf] + packs."""
+    key = (arities, n_packs)
+    tpl = _POR_EXT_TEMPLATES.get(key)
+    if tpl is None:
+        from ...ops.bls12_381 import R as _R
+        from ..r1cs import LinearCombination, lc_one
+        from .boolean import pack_bits_lc
+        from .num import AllocatedNum
+        from .por import por_circuit
+
+        def build(cs, ext):
+            root = AllocatedNum(ext[0], 0)
+            leaf = AllocatedNum(ext[1], 0)
+            path = [([b"\x00" * 32] * (a - 1), 0) for a in arities]
+            bits = por_circuit(cs, leaf, path, root, hasher="poseidon")
+            cap = 254
+            packs = [bits[s : s + cap] for s in range(0, len(bits), cap)]
+            assert len(packs) == n_packs
+            for j, chunk in enumerate(packs):
+                lc, _ = pack_bits_lc(chunk)
+                lc.accumulate(ext[2 + j], _R - 1)
+                cs.enforce(lc, lc_one(), LinearCombination(), "pack_input")
+
+        tpl = CircuitTemplate(
+            build, 2 + n_packs,
+            label=f"porx{'x'.join(map(str, arities))}",
+        )
+        _POR_EXT_TEMPLATES[key] = tpl
+    return tpl
+
+
+def por_circuit_batch_extleaf(
+    cs: ConstraintSystem,
+    root_vars: np.ndarray,  # [K] int64
+    leaf_vars: np.ndarray,  # [K] int64 (caller-owned digests)
+    packed_vars: np.ndarray,  # [K, n_packs] int64
+    arities: tuple[int, ...],
+    leaf_v: np.ndarray | None = None,
+    levels=None,
+) -> np.ndarray:
+    """K external-leaf PoR instances as FieldBlocks. Returns inst_bases."""
+    tpl = por_template_extleaf(arities, packed_vars.shape[1])
+    if leaf_v is None:
+        int_values = None
+    else:
+        wit = por_witness_v(leaf_v, levels, ext_leaf=True)
+        assert wit.shape[1] == tpl.n_int, (wit.shape, tpl.n_int)
+        int_values = fv.from_v(wit.reshape(-1, 16))
+    ext = np.concatenate(
+        [root_vars[:, None], leaf_vars[:, None], packed_vars], axis=1
+    )
+    return tpl.instantiate(cs, ext, int_values)
 
 
 def por_circuit_batch(

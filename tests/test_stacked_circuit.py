@@ -96,3 +96,27 @@ def test_blank_and_witness_circuits_share_structure(sealed_one_challenge):
     assert blank_cs.num_constraints == witness_cs.num_constraints
     assert blank_cs.num_inputs == witness_cs.num_inputs
     assert blank_cs.num_aux == witness_cs.num_aux
+
+
+def test_batched_matches_scalar_oracle(sealed_one_challenge, monkeypatch):
+    """The challenge-batched emitter (circuit/batched.py, the default)
+    is semantically identical to the scalar per-challenge path: same
+    constraint count, same public-input values in the same order, and
+    both satisfied by the same vanilla proofs (variable ORDER differs by
+    design)."""
+    pp, pub, p_aux, proofs = sealed_one_challenge
+    monkeypatch.setenv("FIL_PROOFS_SDR_SYNTH", "scalar")
+    cs_s = circ.circuit_from_vanilla(
+        pp, pub, proofs[0], p_aux.comm_c, p_aux.comm_r_last
+    )
+    monkeypatch.setenv("FIL_PROOFS_SDR_SYNTH", "batched")
+    cs_b = circ.circuit_from_vanilla(
+        pp, pub, proofs[0], p_aux.comm_c, p_aux.comm_r_last
+    )
+    assert cs_b.num_constraints == cs_s.num_constraints
+    assert cs_b.num_inputs == cs_s.num_inputs
+    ins_s = [v for v, i in zip(cs_s.values, cs_s.is_input) if i]
+    ins_b = [v for v, i in zip(cs_b.values, cs_b.is_input) if i]
+    assert ins_s == ins_b
+    assert cs_s.which_unsatisfied() is None
+    assert cs_b.which_unsatisfied() is None

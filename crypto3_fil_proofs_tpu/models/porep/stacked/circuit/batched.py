@@ -527,8 +527,12 @@ def synthesize_batched(
         return vec
 
     node_be64 = _be64_bits_batch(d_bits, K, depth_d)
-    key_rows = None  # (le_bits, values) of the last layer's label
     L_msg = 256 + 32 + 64 + 160 + TOTAL_PARENTS * 256
+    # all layers' messages are independent given the column bits, so
+    # the whole partition's labeling is ONE layers*K-instance sha256
+    # call (lane order layer-major) — the per-layer loop paid ~1.5 ms
+    # of small-array numpy overhead per addmany call (r5 profile)
+    msgs = []
     for layer in range(1, layers + 1):
         if layer == 1:
             parents = [label_bits("drg", p, 1) for p in range(n_drg)]
@@ -538,23 +542,39 @@ def synthesize_batched(
             ] + [label_bits("exp", p, layer - 1) for p in range(n_exp)]
         full = [parents[i % len(parents)] for i in range(TOTAL_PARENTS)]
         layer_bits = [(layer >> i) & 1 for i in range(31, -1, -1)]
-        msg = _concat_bitvecs(
-            [(rid_be_vec, 256),
-             (BitVec.const(np.tile(np.asarray(layer_bits, np.uint8), K)), 32),
-             (node_be64, 64),
-             (BitVec.const(np.zeros(K * 160, np.uint8)), 160)]
-            + [(pb, 256) for pb in full],
-            K,
+        msgs.append(
+            _concat_bitvecs(
+                [(rid_be_vec, 256),
+                 (BitVec.const(
+                     np.tile(np.asarray(layer_bits, np.uint8), K)), 32),
+                 (node_be64, 64),
+                 (BitVec.const(np.zeros(K * 160, np.uint8)), 160)]
+                + [(pb, 256) for pb in full],
+                K,
+            )
         )
-        le_dig, dig_vals = _sha256_digest_batch(bt, msg, L_msg, K)
+    big = BitVec(
+        np.concatenate([m.var for m in msgs]),
+        np.concatenate([m.neg for m in msgs]),
+        np.concatenate([m.val for m in msgs]),
+    )
+    le_all, vals_all = _sha256_digest_batch(bt, big, L_msg, layers * K)
+    lv = le_all.var.reshape(layers, K, 256)
+    ln = le_all.neg.reshape(layers, K, 256)
+    la = le_all.val.reshape(layers, K, 256)
+    key_rows = None
+    for layer in range(1, layers + 1):
+        le_dig = BitVec(
+            lv[layer - 1].ravel(), ln[layer - 1].ravel(),
+            la[layer - 1].ravel(),
+        )
         # tie: label_lc - expected_col = 0 (dict row per instance)
         cx_vars = col_sets["cx"][0][:, 0, layer - 1]
-        _pack_le254_rows(
-            cs, le_dig, K,
-            cx_vars,
-        )
+        _pack_le254_rows(cs, le_dig, K, cx_vars)
         if layer == layers:
-            key_rows = (le_dig, dig_vals)
+            key_rows = (
+                le_dig, vals_all[(layer - 1) * K : layer * K]
+            )
     bt.flush("labels")
 
     # ---- 6. encoding: leaf_d + key - leaf_r = 0 ----------------------

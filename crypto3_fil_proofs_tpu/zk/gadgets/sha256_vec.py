@@ -599,8 +599,35 @@ def _addmany_k(em: ShaEmitter, operands: list[BitVec], K: int) -> BitVec:
         totals += opv
         all_const = (op.var.reshape(K, 32) < 0).all(axis=1)
         bounds += np.where(all_const, opv, np.int64(0xFFFFFFFF))
-    n_bits = max(int(bounds.max()).bit_length(), 32)
-    assert (bounds == bounds[0]).all() or True  # widths pinned by max
+    # the per-instance static bound fixes the result width (scalar
+    # addmany parity). Instances batched across LAYERS can carry
+    # different all-const words (the BE32 layer number), so widths may
+    # differ — split into per-width groups and recombine (rare: widths
+    # only diverge when a const crosses a power-of-two boundary)
+    widths = np.maximum(
+        [int(b).bit_length() for b in bounds], 32
+    ).astype(np.int64)
+    if not (widths == widths[0]).all():
+        out_var = np.empty(K * 32, np.int64)
+        out_neg = np.zeros(K * 32, bool)
+        out_val = np.empty(K * 32, np.uint8)
+        for w in np.unique(widths):
+            sel = np.nonzero(widths == w)[0]
+            sub_ops = [
+                BitVec(
+                    op.var.reshape(K, 32)[sel].ravel(),
+                    op.neg.reshape(K, 32)[sel].ravel(),
+                    op.val.reshape(K, 32)[sel].ravel(),
+                )
+                for op in operands
+            ]
+            sub = _addmany_k(em, sub_ops, len(sel))
+            lanes = (sel[:, None] * 32 + np.arange(32)[None, :]).ravel()
+            out_var[lanes] = sub.var
+            out_neg[lanes] = sub.neg
+            out_val[lanes] = sub.val
+        return BitVec(out_var, out_neg, out_val)
+    n_bits = int(widths[0])
     shifts = np.arange(n_bits, dtype=np.int64)
     res_vals = ((totals[:, None] >> shifts[None, :]) & 1).astype(np.uint8)
     res_ids = em.alloc_bits(res_vals.ravel(), booleanity=True)

@@ -165,11 +165,18 @@ class _BulkBuilder:
 
     def add_rows(self, n, *arrs):
         """Append n rows: (a_lens, a_cols, a_coeffs, b_..., c_...) —
-        all int64 numpy arrays (use r1cs._EMPTY_I64 for empty sides);
-        *_lens are per-row nnz, cols/coeffs flat in row order."""
+        int numpy arrays (use r1cs._EMPTY_I64 for empty sides); *_lens
+        are per-row nnz, cols/coeffs flat in row order. lens and cols
+        are narrowed to int32 on append (var ids < 2^31 — tiled.py
+        asserts the same bound): the retained CSR of a 196M-row
+        partition block shrank by a third, and the build() concat was
+        page-fault-bound at ~100 MB/s on this host (r5 profile)."""
         ch = self.chunks
         for i in range(9):
-            ch[i].append(arrs[i])
+            a = arrs[i]
+            if i % 3 != 2 and a.dtype != np.int32:  # lens + cols
+                a = a.astype(np.int32)
+            ch[i].append(a)
         self.n += n
 
     def build(self, label="") -> BulkBlock:

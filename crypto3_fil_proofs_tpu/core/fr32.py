@@ -37,15 +37,8 @@ def unpadded_sector_size(sector_size: int) -> int:
     return to_unpadded_bytes(sector_size)
 
 
-def write_padded(data: bytes) -> bytes:
-    """Insert 2 zero bits after every 254 data bits. Output length is
-    the exact padded bit-stream length, byte-rounded — a partial tail
-    element is NOT zero-filled to 32 bytes (reference fr32.hpp
-    transform_bit_offset semantics; goldens fr32_reader.cpp:106-133:
-    32 bytes pad to 33, 127 to 128, 68 to 69). Sector-shaped callers
-    zero-fill separately (pad_sector)."""
-    if len(data) == 0:
-        return b""
+def _write_padded_whole(data: bytes) -> bytes:
+    """One-shot padding core (bit arrays ~8x the input; callers chunk)."""
     bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), bitorder="little")
     n_elements = -(-len(bits) // DATA_BITS)
     padded_bits = np.zeros(n_elements * ELEMENT_BITS, dtype=np.uint8)
@@ -59,6 +52,38 @@ def write_padded(data: bytes) -> bytes:
     ]
 
 
+# 127 unpadded bytes = exactly 4 elements = 128 padded bytes: chunking
+# on this lattice keeps every chunk element-aligned, so outputs
+# concatenate byte-exactly. ~16 MB input chunks bound the 1-byte-per-bit
+# transient arrays to ~130 MB (the one-shot path peaked 13.6 GiB on a
+# 512 MiB add_piece — r5 RSS run).
+_PAD_CHUNK = 127 * (1 << 17)
+
+
+def write_padded(data: bytes) -> bytes:
+    """Insert 2 zero bits after every 254 data bits. Output length is
+    the exact padded bit-stream length, byte-rounded — a partial tail
+    element is NOT zero-filled to 32 bytes (reference fr32.hpp
+    transform_bit_offset semantics; goldens fr32_reader.cpp:106-133:
+    32 bytes pad to 33, 127 to 128, 68 to 69). Sector-shaped callers
+    zero-fill separately (pad_sector)."""
+    if len(data) == 0:
+        return b""
+    if len(data) <= _PAD_CHUNK:
+        return _write_padded_whole(data)
+    view = memoryview(data)
+    return b"".join(
+        _write_padded_whole(bytes(view[lo : lo + _PAD_CHUNK]))
+        for lo in range(0, len(data), _PAD_CHUNK)
+    )
+
+
+def _write_unpadded_whole(padded: bytes) -> bytes:
+    bits = np.unpackbits(np.frombuffer(padded, dtype=np.uint8), bitorder="little")
+    data_bits = bits.reshape(-1, ELEMENT_BITS)[:, :DATA_BITS].reshape(-1)
+    return np.packbits(data_bits, bitorder="little").tobytes()
+
+
 def write_unpadded(padded: bytes, offset_bytes: int = 0, num_bytes: int | None = None) -> bytes:
     """Strip the 2 padding bits per element and return `num_bytes` of raw
     data starting at unpadded offset `offset_bytes`
@@ -69,9 +94,15 @@ def write_unpadded(padded: bytes, offset_bytes: int = 0, num_bytes: int | None =
         # by the padding invariant
         pad = NODE_SIZE - len(padded) % NODE_SIZE
         padded = bytes(padded) + b"\0" * pad
-    bits = np.unpackbits(np.frombuffer(padded, dtype=np.uint8), bitorder="little")
-    data_bits = bits.reshape(-1, ELEMENT_BITS)[:, :DATA_BITS].reshape(-1)
-    raw = np.packbits(data_bits, bitorder="little").tobytes()
+    chunk = (_PAD_CHUNK // 127) * 128  # element-aligned padded bytes
+    if len(padded) <= chunk:
+        raw = _write_unpadded_whole(padded)
+    else:
+        view = memoryview(padded)
+        raw = b"".join(
+            _write_unpadded_whole(bytes(view[lo : lo + chunk]))
+            for lo in range(0, len(padded), chunk)
+        )
     if num_bytes is None:
         return raw[offset_bytes:]
     return raw[offset_bytes : offset_bytes + num_bytes]

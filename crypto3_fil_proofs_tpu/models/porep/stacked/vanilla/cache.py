@@ -49,9 +49,20 @@ class ParentCache:
                     return np.memmap(
                         self.path, dtype="<u4", mode="r", shape=(self.nodes, self.degree)
                     )
-                table = graph.parents_all().astype("<u4")
                 tmp = self.path + ".tmp"
-                table.tofile(tmp)
+                mm = np.memmap(
+                    tmp, dtype="<u4", mode="w+",
+                    shape=(self.nodes, self.degree),
+                )
+                if hasattr(graph, "parents_into"):
+                    # windowed generation straight into the disk mmap —
+                    # the one-shot parents_all held ~13 GB at 512MiB
+                    # (nodes x degree plus vectorized sampling temps)
+                    graph.parents_into(mm)
+                else:
+                    mm[:] = graph.parents_all()
+                mm.flush()
+                del mm
                 os.replace(tmp, self.path)
                 return np.memmap(
                     self.path, dtype="<u4", mode="r", shape=(self.nodes, self.degree)

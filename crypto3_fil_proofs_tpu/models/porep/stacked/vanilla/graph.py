@@ -82,24 +82,46 @@ class StackedBucketGraph:
         """(DEGREE,) uint32: base parents then expander parents."""
         return np.concatenate([self.base_parents(node), self.expanded_parents(node)])
 
-    def parents_all(self) -> np.ndarray:
-        """(nodes, DEGREE) uint32 full parent table (the parent-cache payload,
-        reference: stacked/vanilla/cache.hpp — DEGREE u32s per node).
+    # node window per generation step: bounds the DRG bucket-sampling
+    # temporaries (~10 vectorized u64 arrays per window) and the
+    # expander output to ~1 GB — the one-shot parents_all peaked 13 GB
+    # at the 512MiB class and would need >100 GB at 32GiB (r5 RSS probe)
+    PARENTS_CHUNK = 1 << 21
+
+    def parents_into(self, out: np.ndarray) -> None:
+        """Fill a [nodes, DEGREE] uint32 array or memmap window-wise
+        (the parent-cache generation path, reference cache.hpp payload).
 
         The expander half goes through the native Blake2b Feistel kernel
         when available (~50x the python loop; the 512MiB table took ~20
         min in python) and falls back to the per-node python permute."""
-        base = self.base_graph.parents_all()
         from crypto3_fil_proofs_tpu.ops.native import expander_parents_native
 
-        exp = expander_parents_native(
-            self.nodes,
-            self.expansion_degree,
-            self.feistel_keys,
-            self.feistel_precomputed[2],
-        )
-        if exp is None:
-            exp = np.empty((self.nodes, self.expansion_degree), dtype=np.uint32)
-            for node in range(self.nodes):
-                exp[node] = self.expanded_parents(node)
-        return np.concatenate([base, exp], axis=1)
+        m = self.base_graph.degree()
+        for lo in range(0, self.nodes, self.PARENTS_CHUNK):
+            hi = min(lo + self.PARENTS_CHUNK, self.nodes)
+            out[lo:hi, :m] = self.base_graph.parents_batch(
+                np.arange(lo, hi, dtype=np.uint64)
+            )
+            exp = expander_parents_native(
+                self.nodes,
+                self.expansion_degree,
+                self.feistel_keys,
+                self.feistel_precomputed[2],
+                start=lo,
+                end=hi,
+            )
+            if exp is None:
+                exp = np.empty(
+                    (hi - lo, self.expansion_degree), dtype=np.uint32
+                )
+                for node in range(lo, hi):
+                    exp[node - lo] = self.expanded_parents(node)
+            out[lo:hi, m:] = exp
+
+    def parents_all(self) -> np.ndarray:
+        """(nodes, DEGREE) uint32 full parent table (in RAM — use
+        parents_into for disk-backed generation at scale)."""
+        out = np.empty((self.nodes, self.degree()), dtype=np.uint32)
+        self.parents_into(out)
+        return out

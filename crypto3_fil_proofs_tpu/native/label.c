@@ -354,22 +354,38 @@ static void *expander_worker(void *arg) {
   return 0;
 }
 
-void expander_parents(uint64_t nodes, uint32_t exp_degree,
-                      const uint64_t *keys, uint32_t half_bits,
-                      uint32_t n_threads, uint32_t *out) {
+/* Range variant: fills out[(end-start), exp_degree] for the node
+ * window [start, end) — the parent-cache generator streams windows into
+ * its disk mmap instead of materializing the full table (the one-shot
+ * path peaked ~13 GB at the 512MiB class). */
+void expander_parents_range(uint64_t nodes, uint32_t exp_degree,
+                            const uint64_t *keys, uint32_t half_bits,
+                            uint32_t n_threads, uint64_t start, uint64_t end,
+                            uint32_t *out) {
   if (n_threads < 1) n_threads = 1;
   if (n_threads > 64) n_threads = 64;
   pthread_t tids[64];
   expander_job jobs[64];
-  uint64_t chunk = (nodes + n_threads - 1) / n_threads;
+  uint64_t span = end - start;
+  uint64_t chunk = (span + n_threads - 1) / n_threads;
   uint32_t launched = 0;
+  /* workers write at absolute node offsets; rebase out so row `start`
+   * lands at the buffer head */
+  uint32_t *rebased = out - start * exp_degree;
   for (uint32_t t = 0; t < n_threads; t++) {
-    uint64_t s = (uint64_t)t * chunk;
-    if (s >= nodes) break;
-    uint64_t e = s + chunk > nodes ? nodes : s + chunk;
-    jobs[t] = (expander_job){nodes, exp_degree, keys, half_bits, s, e, out};
+    uint64_t s = start + (uint64_t)t * chunk;
+    if (s >= end) break;
+    uint64_t e = s + chunk > end ? end : s + chunk;
+    jobs[t] = (expander_job){nodes, exp_degree, keys, half_bits, s, e, rebased};
     pthread_create(&tids[t], 0, expander_worker, &jobs[t]);
     launched++;
   }
   for (uint32_t t = 0; t < launched; t++) pthread_join(tids[t], 0);
+}
+
+void expander_parents(uint64_t nodes, uint32_t exp_degree,
+                      const uint64_t *keys, uint32_t half_bits,
+                      uint32_t n_threads, uint32_t *out) {
+  expander_parents_range(nodes, exp_degree, keys, half_bits, n_threads, 0,
+                         nodes, out);
 }

@@ -73,6 +73,16 @@ def get_lib():
             ctypes.c_uint32,
             ctypes.POINTER(ctypes.c_uint32),
         ]
+        lib.expander_parents_range.argtypes = [
+            ctypes.c_uint64,
+            ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_uint32,
+            ctypes.c_uint32,
+            ctypes.c_uint64,
+            ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
         lib.label_engine_init(1)  # SHA-NI when compiled in
         _lib = lib
     except OSError:
@@ -154,22 +164,30 @@ def sha256_many_native(
 
 
 def expander_parents_native(
-    nodes: int, exp_degree: int, keys: list[int], half_bits: int
+    nodes: int, exp_degree: int, keys: list[int], half_bits: int,
+    start: int = 0, end: int | None = None,
 ) -> np.ndarray | None:
-    """(nodes, exp_degree) uint32 Feistel expander parent table, or None
-    if the native engine is unavailable (reference parent-cache payload,
-    stacked/vanilla/cache.hpp; bit-exact vs core/feistel.permute)."""
+    """[(end-start), exp_degree] uint32 Feistel expander parent rows for
+    the node window [start, end) (whole table by default), or None if
+    the native engine is unavailable (reference parent-cache payload,
+    stacked/vanilla/cache.hpp; bit-exact vs core/feistel.permute). The
+    window form lets the cache generator stream into its disk mmap
+    instead of materializing nodes x degree in RAM."""
     lib = get_lib()
     if lib is None:
         return None
-    out = np.empty((nodes, exp_degree), dtype=np.uint32)
+    if end is None:
+        end = nodes
+    out = np.empty((end - start, exp_degree), dtype=np.uint32)
     karr = (ctypes.c_uint64 * 3)(*[k & 0xFFFFFFFFFFFFFFFF for k in keys[:3]])
-    lib.expander_parents(
+    lib.expander_parents_range(
         nodes,
         exp_degree,
         karr,
         half_bits,
         os.cpu_count() or 1,
+        start,
+        end,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
     )
     return out

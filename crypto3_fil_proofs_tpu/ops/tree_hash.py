@@ -123,39 +123,11 @@ def get_backend(name: str):
 
         if settings().use_tpu_tree_builder and _accelerator_available():
             return _BACKENDS["poseidon-pallas"]
-        if settings().use_tpu_tree_builder and "poseidon-jax" in _BACKENDS:
-            # no accelerator: LARGE levels go through the batched XLA
-            # hasher (it beats the ~3k h/s per-node host path ~30x — a
-            # CPU-backend 512MiB PC2 sat on that fallback for hours,
-            # r5); small levels keep the host path so test-sized trees
-            # don't pay per-shape XLA compiles. Host-only remains
-            # reachable with FIL_PROOFS_USE_TPU_TREE_BUILDER=0.
-            if "poseidon-auto" not in _BACKENDS:
-                _BACKENDS["poseidon-auto"] = _SizeSplitBackend(
-                    _BACKENDS["poseidon"], _BACKENDS["poseidon-jax"]
-                )
-            return _BACKENDS["poseidon-auto"]
+        # no accelerator: stay on the host path — the XLA level hasher
+        # measured 74 h/s WARM on XLA:CPU (40x SLOWER than the ~3k h/s
+        # host python; it is a TPU program). CPU-only sealing is a
+        # correctness/RSS surface, not a performance one.
     return _BACKENDS[name]
-
-
-class _SizeSplitBackend:
-    """Host poseidon below `threshold` parent hashes, XLA level hasher
-    at scale (CPU-backend hosts; see get_backend)."""
-
-    name = "poseidon-auto"
-
-    def __init__(self, small, big, threshold: int = 1 << 14):
-        self._small = small
-        self._big = big
-        self._threshold = threshold
-
-    def hash_level(self, nodes, arity: int):
-        if nodes.shape[0] // arity < self._threshold:
-            return self._small.hash_level(nodes, arity)
-        return self._big.hash_level(nodes, arity)
-
-    def hash_single(self, children):
-        return self._small.hash_single(children)
 
 
 def register_backend(name: str, backend) -> None:

@@ -28,7 +28,6 @@ import numpy as np
 from crypto3_fil_proofs_tpu.ops import fr_vec as fv
 from crypto3_fil_proofs_tpu.ops.bls12_381 import R
 from crypto3_fil_proofs_tpu.zk.gadgets import tiled
-from crypto3_fil_proofs_tpu.zk.gadgets.boolean import pack_bits_lc
 from crypto3_fil_proofs_tpu.zk.gadgets.num import AllocatedNum
 from crypto3_fil_proofs_tpu.zk.gadgets.poseidon import hash2_circuit
 from crypto3_fil_proofs_tpu.zk.gadgets.por import (
@@ -42,11 +41,7 @@ from crypto3_fil_proofs_tpu.zk.gadgets.sha256_vec import (
     sha256_batch,
     state_bits_le_batch,
 )
-from crypto3_fil_proofs_tpu.zk.r1cs import (
-    ConstraintSystem,
-    LinearCombination,
-    lc_one,
-)
+from crypto3_fil_proofs_tpu.zk.r1cs import ConstraintSystem
 
 from ..vanilla.params import TOTAL_PARENTS
 
@@ -131,10 +126,10 @@ class _Batch:
         self.em.flush(label)
 
 
-def _pack_le254_rows(cs, le_bits: BitVec, K: int, tie_vars, extra=None):
-    """Per instance: sum 2^i le_bits[k, i] (i < 254) - tie_var (+extra
-    terms) = 0 as a dict row. le_bits lanes [K*256] instance-major
-    (const lanes fold into the row constant via var 0)."""
+def _pack_le254_rows(cs, le_bits: BitVec, K: int, tie_vars):
+    """Per instance: sum 2^i le_bits[k, i] (i < 254) - tie_var = 0 as a
+    dict row. le_bits lanes [K*256] instance-major (const lanes fold
+    into the row constant via var 0)."""
     v2 = le_bits.var.reshape(K, -1)
     n2 = le_bits.neg.reshape(K, -1)
     a2 = le_bits.val.reshape(K, -1)
@@ -156,9 +151,6 @@ def _pack_le254_rows(cs, le_bits: BitVec, K: int, tie_vars, extra=None):
         if const:
             a[0] = (a.get(0, 0) + const) % R
         a[int(tie_vars[k])] = (a.get(int(tie_vars[k]), 0) + R - 1) % R
-        if extra is not None:
-            for var, coeff in extra[k]:
-                a[int(var)] = (a.get(int(var), 0) + coeff) % R
         cs.enforce_raw(a, {0: 1}, {})
 
 
@@ -579,12 +571,6 @@ def synthesize_batched(
 
     # ---- 6. encoding: leaf_d + key - leaf_r = 0 ----------------------
     le_key, _ = key_rows
-    extra = [
-        [(int(leaf_d_vars[k]), 1), (int(leaf_r_vars[k]), R - 1)]
-        for k in range(K)
-    ]
-    # key_lc + leaf_d - leaf_r = 0: reuse the pack-row helper with a
-    # zero tie (var 0 coeff 0) and the extra terms
     v2 = le_key.var.reshape(K, -1)
     n2 = le_key.neg.reshape(K, -1)
     a2 = le_key.val.reshape(K, -1)

@@ -179,6 +179,63 @@ def _make_stage_kernel(log_l: int, halves: tuple, dif: bool, table: str,
 # of traffic across the whole 2^20 transform
 STAGES_PER_CALL = 1
 
+# Row tile for the constant-VMEM stage kernels below. The whole-L
+# window kernel above measured 165.86MB scoped VMEM at L=1024 (133MB
+# register-allocator spill from the unrolled CIOS over a [1024, 128]
+# block + 2x-buffered 16MB windows) — v5e hard-fails over 128MB, and
+# production h-domains (2^24 -> L=4096) would blow on windows alone.
+ROW_TILE = 128
+
+
+def _butterfly(u, v, tw, dif):
+    if dif:
+        return _add_mod(u, v), _cios(_sub_mod(u, v), tw)
+    t = _cios(v, tw)
+    return _add_mod(u, t), _sub_mod(u, t)
+
+
+def _make_blocked_kernel(h: int, br: int, dif: bool):
+    """Single-window stage kernel for SMALL strides (m = 2h <= br):
+    block rows `br` of state, butterfly groups resolved by reshape
+    inside the block. Grid (L/br, C/lanes); VMEM = 2x-buffered
+    in/out windows + CIOS temps over [br, lanes] — constant in L."""
+    m = 2 * h
+
+    def kernel(state_ref, tw_ref, out_ref):
+        a = [state_ref[j] for j in range(N_LIMBS)]  # 16 x [br, lanes]
+        twv = tw_ref[...]  # [16, L]
+        lanes = a[0].shape[-1]
+        u = [x.reshape(br // m, m, lanes)[:, :h] for x in a]
+        v = [x.reshape(br // m, m, lanes)[:, h:] for x in a]
+        tw = lambda i: twv[i, h : 2 * h][None, :, None]
+        top, bot = _butterfly(u, v, tw, dif)
+        for j in range(N_LIMBS):
+            out_ref[j] = jnp.concatenate([top[j], bot[j]], axis=1).reshape(
+                br, lanes
+            )
+
+    return kernel
+
+
+def _make_split_kernel(dif: bool):
+    """Two-window stage kernel for LARGE strides (h >= ROW_TILE): the
+    u and v butterfly halves arrive through separate block-indexed
+    windows, the twiddle block carries exactly this tile's columns,
+    and top/bot leave through two outputs (interleaved back to state
+    layout by XLA in _stage_call). Constant VMEM at any L."""
+
+    def kernel(u_ref, v_ref, tw_ref, top_ref, bot_ref):
+        u = [u_ref[j] for j in range(N_LIMBS)]  # [ROW_TILE, lanes]
+        v = [v_ref[j] for j in range(N_LIMBS)]
+        twv = tw_ref[...]  # [ROW_TILE, 16] (transposed block)
+        tw = lambda i: twv[:, i : i + 1]
+        top, bot = _butterfly(u, v, tw, dif)
+        for j in range(N_LIMBS):
+            top_ref[j] = top[j]
+            bot_ref[j] = bot[j]
+
+    return kernel
+
 
 def _stage_call(state, tw, tbl, log_l, halves, dif, table):
     L = 1 << log_l
@@ -188,6 +245,64 @@ def _stage_call(state, tw, tbl, log_l, halves, dif, table):
     # four-step (C/D lanes per device) — Mosaic pads narrow lanes on
     # TPU, and the CPU interpret path doesn't care
     lanes = min(LANE_CHUNK, C)
+    interp = jax.default_backend() == "cpu"
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * (1 << 20))
+
+    if table == "none" and len(halves) == 1:
+        h = halves[0]
+        m = 2 * h
+        br = min(ROW_TILE, L)
+        if m <= br:
+            # small stride: butterfly within a row block
+            spec = pl.BlockSpec(
+                (N_LIMBS, br, lanes), lambda r, c: (0, r, c),
+                memory_space=pltpu.VMEM,
+            )
+            tw_spec = pl.BlockSpec(
+                (N_LIMBS, L), lambda r, c: (0, 0), memory_space=pltpu.VMEM
+            )
+            return pl.pallas_call(
+                _make_blocked_kernel(h, br, dif),
+                out_shape=jax.ShapeDtypeStruct(state.shape, jnp.uint32),
+                grid=(L // br, C // lanes),
+                in_specs=[spec, tw_spec],
+                out_specs=spec,
+                compiler_params=params,
+                interpret=interp,
+            )(state, tw)
+        # large stride (h >= ROW_TILE): two-window butterfly halves
+        G, J, HT = L // m, h // ROW_TILE, h // ROW_TILE
+        blk = lambda off: pl.BlockSpec(
+            (N_LIMBS, ROW_TILE, lanes),
+            lambda g, j, c, o=off: (0, g * (m // ROW_TILE) + o + j, c),
+            memory_space=pltpu.VMEM,
+        )
+        tw_spec = pl.BlockSpec(
+            (ROW_TILE, N_LIMBS), lambda g, j, c: (HT + j, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_spec = pl.BlockSpec(
+            (N_LIMBS, ROW_TILE, lanes),
+            lambda g, j, c: (0, g * HT + j, c),
+            memory_space=pltpu.VMEM,
+        )
+        half_shape = jax.ShapeDtypeStruct((N_LIMBS, L // 2, C), jnp.uint32)
+        top, bot = pl.pallas_call(
+            _make_split_kernel(dif),
+            out_shape=(half_shape, half_shape),
+            grid=(G, J, C // lanes),
+            in_specs=[blk(0), blk(HT), tw_spec],
+            out_specs=(out_spec, out_spec),
+            compiler_params=params,
+            interpret=interp,
+        )(state, state, jnp.transpose(tw))
+        # interleave [top_g ; bot_g] per group back to state layout
+        t4 = top.reshape(N_LIMBS, G, h, C)
+        b4 = bot.reshape(N_LIMBS, G, h, C)
+        return jnp.stack([t4, b4], axis=2).reshape(N_LIMBS, L, C)
+
+    # fused-table fallback (sub-1024-element local blocks only): the
+    # whole-L window kernel — small L keeps it inside VMEM
     spec = pl.BlockSpec(
         (N_LIMBS, L, lanes), lambda i: (0, 0, i),
         memory_space=pltpu.VMEM,
@@ -203,10 +318,8 @@ def _stage_call(state, tw, tbl, log_l, halves, dif, table):
         grid=(C // lanes,),
         in_specs=in_specs,
         out_specs=spec,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * (1 << 20)
-        ),
-        interpret=jax.default_backend() == "cpu",
+        compiler_params=params,
+        interpret=interp,
     )(*args)
 
 
@@ -261,6 +374,17 @@ def _stages(state, tw, tbl, log_l, dif, table):
     field kernels — interpret compiles were the r5 dryrun wall)."""
     if jax.default_backend() == "cpu":
         return _stages_ref(state, tw, tbl, log_l, dif, table)
+    # the pre/post inter-step table rides the standalone elementwise
+    # kernel, NOT fused into a stage call: one stage's unrolled CIOS
+    # already costs ~60MB of Mosaic scoped VMEM at L=1024, and fusing
+    # the table's second CIOS chain pushed the call past the 100MB
+    # limit (v5e scoped-allocation failure at 2^20, BENCH r5)
+    shape = state.shape
+    n_flat = shape[1] * shape[2]
+    split_tbl = table != "none" and n_flat % 1024 == 0
+    flat = lambda t: t.reshape(N_LIMBS, -1)
+    if split_tbl and table == "pre":
+        state = fr_mul_soa(flat(state), flat(tbl)).reshape(shape)
     all_halves = (
         [1 << (k - 1) for k in range(log_l, 0, -1)]
         if dif
@@ -272,12 +396,18 @@ def _stages(state, tw, tbl, log_l, dif, table):
     ]
     for gi, halves in enumerate(groups):
         first, last = gi == 0, gi == len(groups) - 1
-        t = (
-            "pre" if (table == "pre" and first)
-            else "post" if (table == "post" and last)
-            else "none"
+        t = "none"
+        if not split_tbl:
+            t = (
+                "pre" if (table == "pre" and first)
+                else "post" if (table == "post" and last)
+                else "none"
+            )
+        state = _stage_call(
+            state, tw, None if t == "none" else tbl, log_l, halves, dif, t
         )
-        state = _stage_call(state, tw, tbl, log_l, halves, dif, t)
+    if split_tbl and table == "post":
+        state = fr_mul_soa(flat(state), flat(tbl)).reshape(shape)
     return state
 
 
